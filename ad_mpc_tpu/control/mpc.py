@@ -1,0 +1,208 @@
+"""MPC controller facades: the L3/L4 layer of the reference
+(``AD3DMPC``/``Quad3DMPC``/``ROSGPMPC``) as thin wrappers over one jitted
+SQP-RTI solver.
+
+Unlike the reference — which compiles one ACADOS solver per model variant and
+mutates hidden C state — these facades hold only (a) the compiled solve
+function and (b) an explicit, functional warm-start ``SolverState``. Batched
+fleet operation therefore needs no new machinery: vmap the pure parts and
+carry stacked states.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ad_mpc_tpu.control import safety
+from ad_mpc_tpu.models.bicycle import BicycleParams, bicycle_dynamics, blend_switch
+from ad_mpc_tpu.models.quadrotor import QuadrotorParams, quad_dynamics
+from ad_mpc_tpu.ocp.solver import SQPSolver, SolverState
+from ad_mpc_tpu.ocp.spec import OCPSpec
+
+
+def bicycle_spec(
+    t_horizon: float = 2.0,
+    n_nodes: int = 40,
+    q_cost=(10.0, 10.0, 100.0, 0.0, 0.0, 0.0, 0.0),
+    r_cost=(1.0, 100.0),
+    params: BicycleParams = BicycleParams(),
+    sqp_iters: int = 1,
+    qp_iters: int = 18,
+) -> OCPSpec:
+    """AD OCP spec with the reference's dims/weights/bounds:
+    N=40, tf=2 s, Q/R from the node (``create_ros_ad_mpc.py:26-44``),
+    W_e = Q*1e-6, soft input box + hard steering box
+    (``ad_3d_optimizer.py:146-198``)."""
+    p = params
+    return OCPSpec(
+        n_nodes=n_nodes,
+        t_horizon=t_horizon,
+        nx=7,
+        nu=2,
+        q_cost=tuple(q_cost),
+        r_cost=tuple(r_cost),
+        w_e_cost=tuple(1e-6 * np.asarray(q_cost)),
+        lbu=(p.acc_min, p.steering_rate_min),
+        ubu=(p.acc_max, p.steering_rate_max),
+        lbx=(-np.inf,) * 6 + (p.steering_min,),
+        ubx=(np.inf,) * 6 + (p.steering_max,),
+        soft_u=(True, True),
+        zl_u=10.0,
+        zu_u=10.0,
+        sqp_iters=sqp_iters,
+        qp_iters=qp_iters,
+        yaw_wrap_idx=2,
+    )
+
+
+class BicycleMPC:
+    """AD vehicle MPC (L3 facade + safety shell).
+
+    ``optimize(x)`` mirrors ``AD3DMPC.optimize`` + the backup-control path of
+    ``AD3DOptimizer.run_optimization``: solve, gate the solution through
+    ``is_valid_command``, fall back to the shifted previous plan when
+    implausible.
+    """
+
+    def __init__(
+        self,
+        params: BicycleParams = BicycleParams(),
+        spec: Optional[OCPSpec] = None,
+        dtype=jnp.float32,
+    ):
+        self.params = params
+        self.spec = spec if spec is not None else bicycle_spec(params=params)
+        self.solver = SQPSolver(
+            self.spec,
+            lambda x, u, p: bicycle_dynamics(x, u, params, switch=p[0]),
+            p_dim=1,
+            dtype=dtype,
+        )
+        self.state: Optional[SolverState] = None
+        self._prev_us = None
+        self._yref_x = None
+        self._yref_u = None
+
+    def set_reference(self, x_ref, u_ref=None):
+        """x_ref: (M, 7) state reference (padded/truncated to N+1 rows by
+        repeating the last row, ``ad_3d_optimizer.py:347-349``)."""
+        N = self.spec.n_nodes
+        x_ref = np.atleast_2d(np.asarray(x_ref, dtype=float))
+        if u_ref is None:
+            u_ref = np.zeros((x_ref.shape[0], 2))
+        u_ref = np.atleast_2d(np.asarray(u_ref, dtype=float))
+        while x_ref.shape[0] < N + 1:
+            x_ref = np.vstack([x_ref, x_ref[-1:]])
+            u_ref = np.vstack([u_ref, u_ref[-1:]])
+        self._yref_x = jnp.asarray(x_ref[: N + 1])
+        self._yref_u = jnp.asarray(u_ref[:N])
+
+    def optimize(self, x0, use_backup_gate: bool = True):
+        """Returns (us (N,2), xs (N+1,7), ok flag)."""
+        x0 = jnp.asarray(x0)
+        if self.state is None:
+            self.state = self.solver.init_state(x0)
+        sw = blend_switch(x0[3], self.params)
+        res = self.solver.solve(
+            x0, self._yref_x, self._yref_u, jnp.array([sw]), self.state
+        )
+        self.state = self.solver.shift(res.state)
+
+        us, xs = res.us, res.xs
+        ok = bool(safety.is_valid_command(xs, self._yref_x))
+        if use_backup_gate:
+            if ok:
+                self._prev_us = us
+            elif self._prev_us is not None:
+                us = safety.backup_control(self._prev_us)
+                self._prev_us = us
+        return us, xs, ok
+
+    def reset(self):
+        self.state = None
+        self._prev_us = None
+
+
+def quad_spec(
+    t_horizon: float = 1.0,
+    n_nodes: int = 10,
+    q_cost=(10, 10, 10, 0.1, 0.1, 0.1, 0.1, 0.05, 0.05, 0.05, 0.05, 0.05, 0.05),
+    r_cost=(0.1, 0.1, 0.1, 0.1),
+    sqp_iters: int = 1,
+    qp_iters: int = 18,
+) -> OCPSpec:
+    """Quadrotor OCP spec mirroring the reference dims and weights (N=10,
+    tf=1 s, nx=13, nu=4, input box [0,1]; 12-weight q_cost expanded with the
+    quaternion-norm extra weight -> 13 diagonal entries,
+    ``quad_3d_optimizer.py:52-55, 139, 199-203``)."""
+    return OCPSpec(
+        n_nodes=n_nodes,
+        t_horizon=t_horizon,
+        nx=13,
+        nu=4,
+        q_cost=tuple(q_cost),
+        r_cost=tuple(r_cost),
+        w_e_cost=tuple(q_cost),
+        lbu=(0.0,) * 4,
+        ubu=(1.0,) * 4,
+        sqp_iters=sqp_iters,
+        qp_iters=qp_iters,
+    )
+
+
+class QuadMPC:
+    """Quadrotor MPC facade (``Quad3DMPC`` capability set, nominal/RDRv
+    models; GP-ensemble augmentation plugs in as a residual closure via
+    :mod:`ad_mpc_tpu.learned`)."""
+
+    def __init__(
+        self,
+        params: QuadrotorParams = QuadrotorParams(),
+        spec: Optional[OCPSpec] = None,
+        rdrv_d=None,
+        residual_fn=None,
+        dtype=jnp.float32,
+    ):
+        self.params = params
+        self.spec = spec if spec is not None else quad_spec()
+
+        def dyn(x, u):
+            xd = quad_dynamics(x, u, params, rdrv_d=rdrv_d)
+            if residual_fn is not None:
+                xd = xd + residual_fn(x, u)
+            return xd
+
+        self.solver = SQPSolver(self.spec, dyn, p_dim=0, dtype=dtype)
+        self.state: Optional[SolverState] = None
+        self._yref_x = None
+        self._yref_u = None
+
+    def set_reference(self, x_ref, u_ref=None):
+        N = self.spec.n_nodes
+        x_ref = np.atleast_2d(np.asarray(x_ref, dtype=float))
+        if x_ref.shape[0] == 1:
+            x_ref = np.tile(x_ref, (N + 1, 1))
+        if u_ref is None:
+            u_ref = np.zeros((x_ref.shape[0], 4))
+        u_ref = np.atleast_2d(np.asarray(u_ref, dtype=float))
+        while x_ref.shape[0] < N + 1:
+            x_ref = np.vstack([x_ref, x_ref[-1:]])
+            u_ref = np.vstack([u_ref, u_ref[-1:]])
+        self._yref_x = jnp.asarray(x_ref[: N + 1])
+        self._yref_u = jnp.asarray(u_ref[:N])
+
+    def optimize(self, x0):
+        x0 = jnp.asarray(x0)
+        if self.state is None:
+            self.state = self.solver.init_state(x0)
+        res = self.solver.solve(
+            x0, self._yref_x, self._yref_u, jnp.zeros((0,)), self.state
+        )
+        self.state = self.solver.shift(res.state)
+        return res.us, res.xs
+
+    def reset(self):
+        self.state = None

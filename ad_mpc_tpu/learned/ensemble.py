@@ -1,0 +1,168 @@
+"""Clustered GP ensembles as stacked parameter tensors.
+
+Capability parity with the reference's ``GPEnsemble``
+(``ros_gp_mpc/src/model_fitting/gp.py:536-788``): one GP per (output dim,
+cluster), centroid-sorted clusters, nearest-centroid cluster selection,
+feature extraction ``z = B_z [x; u]``, and the dynamics augmentation
+``x_dot += B_x . R(q) . GP(z)`` (``quad_3d_optimizer.py:289-327``).
+
+TPU-first redesign: the reference compiles one ACADOS solver per cluster and
+switches between compiled binaries at runtime (``acados_models[i]``). Here
+all clusters live in ONE stacked parameter tensor (padded to a common
+training-set size) and cluster choice is a gather — no recompilation, no
+model switch, and ``lax`` tracing sees a single program. Selection can run
+per-solve (reference semantics) or per-evaluation inside the rollout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ad_mpc_tpu.learned.gp import GPParams
+from ad_mpc_tpu.utils.math import q_to_rot_mat, quaternion_inverse, v_dot_q
+
+
+class GPEnsemble(NamedTuple):
+    """Stacked GP parameters over (out_dim D, clusters C, points n, feats d).
+
+    Clusters with fewer training points are padded with repeated rows whose
+    ``k_inv_y`` entries are zero — padding contributes exactly nothing to the
+    posterior mean.
+    """
+
+    x_train: jax.Array  # (D, C, n, d)
+    k_inv_y: jax.Array  # (D, C, n)
+    len_scale: jax.Array  # (D, C, d)
+    sigma_f: jax.Array  # (D, C)
+    y_mean: jax.Array  # (D, C)
+    centroids: jax.Array  # (D, C, d)
+    out_idx: tuple  # static: which state dims the outputs correct (e.g. 7,8,9)
+    feat_idx: tuple  # static: which body-frame state dims form z (e.g. 7,8,9)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.x_train.shape[1]
+
+    @staticmethod
+    def from_gps(
+        gps: Sequence[Sequence[GPParams]],
+        out_idx: Sequence[int],
+        feat_idx: Sequence[int],
+    ) -> "GPEnsemble":
+        """Stack per-dim lists of per-cluster GPParams, padding training sets
+        to a common size and sorting clusters by centroid first-feature
+        (``gp.py:592-595``)."""
+        D = len(gps)
+        C = len(gps[0])
+        n_max = max(int(g.x_train.shape[0]) for row in gps for g in row)
+
+        def pad(g: GPParams):
+            n = g.x_train.shape[0]
+            reps = n_max - n
+            x = np.concatenate(
+                [np.asarray(g.x_train), np.tile(np.asarray(g.x_train[:1]), (reps, 1))]
+            )
+            a = np.concatenate([np.asarray(g.k_inv_y), np.zeros(reps)])
+            return x, a
+
+        x_all = np.zeros((D, C, n_max, gps[0][0].x_train.shape[1]))
+        a_all = np.zeros((D, C, n_max))
+        ls = np.zeros((D, C, gps[0][0].len_scale.shape[0]))
+        sf = np.zeros((D, C))
+        ym = np.zeros((D, C))
+        cen = np.zeros((D, C, gps[0][0].centroid.shape[0]))
+        for i, row in enumerate(gps):
+            order = np.argsort([float(g.centroid[0]) for g in row])
+            for j, cj in enumerate(order):
+                g = row[cj]
+                x_all[i, j], a_all[i, j] = pad(g)
+                ls[i, j] = np.asarray(g.len_scale)
+                sf[i, j] = float(g.sigma_f)
+                ym[i, j] = float(g.y_mean)
+                cen[i, j] = np.asarray(g.centroid)
+        return GPEnsemble(
+            x_train=jnp.asarray(x_all),
+            k_inv_y=jnp.asarray(a_all),
+            len_scale=jnp.asarray(ls),
+            sigma_f=jnp.asarray(sf),
+            y_mean=jnp.asarray(ym),
+            centroids=jnp.asarray(cen),
+            out_idx=tuple(int(i) for i in out_idx),
+            feat_idx=tuple(int(i) for i in feat_idx),
+        )
+
+
+def select_cluster(ens: GPEnsemble, z):
+    """Nearest-centroid cluster index per output dim (``gp.py:738-770``).
+    z: (d,) -> (D,) int."""
+    d2 = jnp.sum((ens.centroids - z[None, None, :]) ** 2, axis=-1)  # (D, C)
+    return jnp.argmin(d2, axis=-1)
+
+
+def predict(ens: GPEnsemble, z, cluster_idx=None):
+    """Posterior means of all output dims at feature z: (D,).
+
+    cluster_idx: (D,) int per-dim cluster choice; None = nearest centroid.
+    """
+    if cluster_idx is None:
+        cluster_idx = select_cluster(ens, z)
+    idx = cluster_idx[:, None, None]
+
+    def take(a):
+        return jnp.take_along_axis(
+            a, idx.reshape((-1,) + (1,) * (a.ndim - 2)), axis=1
+        )[:, 0]
+
+    x_t = take(ens.x_train)  # (D, n, d)
+    a = take(ens.k_inv_y)  # (D, n)
+    ls = take(ens.len_scale)  # (D, d)
+    sf = jnp.take_along_axis(ens.sigma_f, cluster_idx[:, None], axis=1)[:, 0]
+    ym = jnp.take_along_axis(ens.y_mean, cluster_idx[:, None], axis=1)[:, 0]
+
+    diff = (z[None, None, :] - x_t) / ls[:, None, :]
+    k_s = sf[:, None] * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))  # (D, n)
+    return jnp.sum(k_s * a, axis=-1) + ym
+
+
+def body_frame_features(x, feat_idx):
+    """Feature vector z from a 13D quad state: selected dims with the
+    velocity block rotated into the body frame
+    (``quad_3d_optimizer.py:296-298``)."""
+    q = x[3:7]
+    v_b = v_dot_q(x[7:10], quaternion_inverse(q))
+    x_body = x.at[7:10].set(v_b) if hasattr(x, "at") else x
+    return jnp.stack([x_body[i] for i in feat_idx])
+
+
+def quad_residual_fn(ens: GPEnsemble, fixed_cluster=None):
+    """Dynamics-residual closure for the quadrotor:
+    ``x_dot += B_x . R(q) . GP(z)`` with z the body-frame velocity features
+    (``quad_3d_optimizer.py:289-327``).
+
+    The returned function is pure JAX: it fuses into the RK4 rollout and is
+    differentiated by the SQP linearization — replacing the reference's
+    per-cluster CasADi codegen.
+
+    fixed_cluster: optional (D,) int to pin the cluster per solve (reference
+    semantics via ``select_gp`` on the horizon midpoint); None = select per
+    evaluation.
+    """
+    out_idx = ens.out_idx
+
+    def residual(x, u):
+        z = body_frame_features(x, ens.feat_idx)
+        mu_body = predict(ens, z, cluster_idx=fixed_cluster)
+        # Only velocity-dim outputs are supported for the world-frame
+        # rotation (the reference's B_x also selects velocity dims 7:10).
+        full_body = jnp.zeros(3)
+        for k, dim in enumerate(out_idx):
+            full_body = full_body.at[dim - 7].set(mu_body[k])
+        mu_world = v_dot_q(full_body, x[3:7])
+        xd = jnp.zeros_like(x)
+        return xd.at[7:10].set(mu_world)
+
+    return residual

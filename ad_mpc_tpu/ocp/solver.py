@@ -1,0 +1,185 @@
+"""SQP-RTI nonlinear MPC solver: one jitted XLA program per OCP spec.
+
+TPU-native replacement for the ACADOS SQP-RTI capsule
+(``acados_solver_sim_car.c``; Python driver ``ad_3d_optimizer.py:396-480``):
+
+- linearization sweep = vmapped ``jax.jacfwd`` of the RK4-discretized
+  dynamics (the VDE);
+- the QP is solved by a fixed-iteration primal-dual IPM with per-stage
+  Riccati factorizations (:mod:`ad_mpc_tpu.ops.qp_ipm`);
+- RTI warm starting is a *functional* solver state (the previous
+  state/control trajectory), threaded through solves and shiftable — no
+  hidden C-state, so batching over thousands of scenario warm-starts is just
+  ``vmap`` and mesh-sharding is ``shard_map``.
+
+The solve function is compiled once per (spec, dynamics); every call with
+new numeric data reuses the program — the XLA analogue of ACADOS's
+generate-and-compile-at-init (``SURVEY.md §3.4``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ad_mpc_tpu.ocp.spec import OCPSpec
+from ad_mpc_tpu.ops.integrators import discretize, linearize, rollout
+from ad_mpc_tpu.ops.qp_ipm import BoundSpec, solve_lq_ocp
+from ad_mpc_tpu.utils.math import yaw_wrap_reference
+
+
+class SolverState(NamedTuple):
+    """RTI warm-start iterate: the current primal trajectory guess."""
+
+    xs: jax.Array  # (N+1, nx)
+    us: jax.Array  # (N, nu)
+
+
+class SolveResult(NamedTuple):
+    us: jax.Array  # (N, nu) optimized controls
+    xs: jax.Array  # (N+1, nx) optimized states
+    state: SolverState  # warm-start state for the next solve
+    kkt_residual: jax.Array  # stationarity+feasibility norm (solver health)
+    alpha: jax.Array  # last-QP step sizes (diagnostics)
+
+
+class SQPSolver:
+    """Factory wiring an OCPSpec + dynamics into jitted solve/shift calls.
+
+    :param dynamics: continuous-time ``f(x, u, p) -> x_dot`` where ``p`` is a
+        per-solve parameter vector (the reference's ACADOS stage parameter,
+        e.g. the kinematic/dynamic blend switch). Pass ``p_dim=0`` for none.
+    """
+
+    def __init__(
+        self,
+        spec: OCPSpec,
+        dynamics: Callable,
+        p_dim: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.spec = spec
+        self.dtype = dtype
+        self.p_dim = p_dim
+
+        if p_dim > 0:
+            f = dynamics
+        else:
+            f = lambda x, u, p: dynamics(x, u)
+
+        N, dt = spec.n_nodes, spec.dt
+
+        Q, R, QN = spec.weight_arrays()
+        lbu, ubu, lbx, ubx, soft_u, soft_x = spec.bound_arrays()
+        self._Q = jnp.asarray(Q, dtype)
+        self._R = jnp.asarray(R, dtype)
+        self._QN = jnp.asarray(QN, dtype)
+        zl_u = np.where(soft_u, spec.zl_u, 0.0)
+        zu_u = np.where(soft_u, spec.zu_u, 0.0)
+        Zl_u = np.where(soft_u, spec.Zl_u, 0.0)
+        Zu_u = np.where(soft_u, spec.Zu_u, 0.0)
+        self._u_bounds = BoundSpec.make(
+            jnp.asarray(lbu, dtype), jnp.asarray(ubu, dtype),
+            soft=jnp.asarray(soft_u),
+            zl=jnp.asarray(zl_u, dtype), zu=jnp.asarray(zu_u, dtype),
+            Zl=jnp.asarray(Zl_u, dtype), Zu=jnp.asarray(Zu_u, dtype),
+        )
+        self._x_bounds = BoundSpec.make(
+            jnp.asarray(lbx, dtype), jnp.asarray(ubx, dtype),
+            soft=jnp.asarray(soft_x),
+        )
+
+        def F(x, u, p):
+            return discretize(lambda xx, uu: f(xx, uu, p), dt, spec.rk4_steps)(x, u)
+
+        self._F = F
+
+        def solve(x0, yref_x, yref_u, params, state: SolverState) -> SolveResult:
+            """One MPC solve: ``spec.sqp_iters`` Gauss-Newton iterations.
+
+            yref_x: (N+1, nx), yref_u: (N, nu), params: (p_dim,) broadcast to
+            all stages (stage-varying params: pass (N, p_dim)).
+            """
+            x0 = x0.astype(dtype)
+            yref_x = yref_x.astype(dtype)
+            yref_u = yref_u.astype(dtype)
+            params = jnp.asarray(params).astype(dtype)
+            state = SolverState(
+                xs=state.xs.astype(dtype), us=state.us.astype(dtype)
+            )
+
+            if spec.yaw_wrap_idx is not None:
+                i = spec.yaw_wrap_idx
+                yref_x = yref_x.at[:, i].set(
+                    yaw_wrap_reference(yref_x[:, i], x0[i])
+                )
+
+            Fp = lambda x, u: F(x, u, params)
+
+            def sqp_iter(carry, _):
+                xs, us = carry
+                # Pin the initial state (x0 equality bound,
+                # ad_3d_optimizer.py:441-442) then linearize along the iterate.
+                xs = xs.at[0].set(x0)
+                A, B, c = linearize(Fp, xs, us)
+
+                Qs = jnp.concatenate(
+                    [jnp.tile(self._Q[None], (N, 1, 1)), self._QN[None]], axis=0
+                )
+                Rs = jnp.tile(self._R[None], (N, 1, 1))
+                q_lin = jnp.einsum("ij,kj->ki", self._Q, xs[:-1] - yref_x[:-1])
+                q_term = self._QN @ (xs[-1] - yref_x[-1])
+                q = jnp.concatenate([q_lin, q_term[None]], axis=0)
+                r = jnp.einsum("ij,kj->ki", self._R, us - yref_u)
+
+                dx0 = jnp.zeros_like(x0)
+                dx, du, stats = solve_lq_ocp(
+                    A, B, c, Qs, q, Rs, r, dx0,
+                    self._u_bounds, self._x_bounds,
+                    u_ref=us, x_ref=xs,
+                    iters=spec.qp_iters,
+                    reg=spec.levenberg,
+                )
+                return (xs + dx, us + du), stats["alpha"]
+
+            (xs, us), alphas = jax.lax.scan(
+                sqp_iter, (state.xs, state.us), None, length=spec.sqp_iters
+            )
+
+            # KKT health metric: dynamics defect norm of the returned iterate.
+            defect = jax.vmap(Fp)(xs[:-1], us) - xs[1:]
+            kkt = jnp.sqrt(jnp.mean(defect**2))
+
+            new_state = SolverState(xs=xs, us=us)
+            return SolveResult(us=us, xs=xs, state=new_state,
+                               kkt_residual=kkt, alpha=alphas[-1])
+
+        self.solve = jax.jit(solve)
+
+        def shift(state: SolverState) -> SolverState:
+            """RTI shift: advance the warm start one stage (the reference's
+            implicit RTI warm start + shifted backup control,
+            ``ad_3d_optimizer.py:469-477``)."""
+            xs = jnp.concatenate([state.xs[1:], state.xs[-1:]], axis=0)
+            us = jnp.concatenate([state.us[1:], state.us[-1:]], axis=0)
+            return SolverState(xs=xs, us=us)
+
+        self.shift = jax.jit(shift)
+
+    def init_state(self, x0, u0=None) -> SolverState:
+        """Cold-start state: constant-control rollout from x0."""
+        spec = self.spec
+        u0 = (
+            jnp.zeros(spec.nu, self.dtype)
+            if u0 is None
+            else jnp.asarray(u0, self.dtype)
+        )
+        us = jnp.tile(u0[None], (spec.n_nodes, 1))
+        params = jnp.zeros((self.p_dim,), self.dtype)
+        Fp = lambda x, u: self._F(x, u, params)
+        xs = rollout(Fp, jnp.asarray(x0, self.dtype), us)
+        return SolverState(xs=xs, us=us)
