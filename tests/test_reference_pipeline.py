@@ -64,12 +64,18 @@ class TestWaypoints:
         np.testing.assert_allclose(vr[3:], 5.0, atol=0.2)
 
     def test_stop_flag_at_path_end(self):
-        x, y, psi, vel = straight_path(n=20)
+        # The received trajectory is a LOCAL path starting near the vehicle
+        # (the /local_traj contract): 'stop' raises when the lookahead window
+        # consumes the whole received path (ref_traj.py:151-153).
+        long_x, y, psi, vel = straight_path(n=100)  # 50 m ahead
         ref = PathReference(traj_horizon=15, traj_dt=0.5)
-        ref.set_traj(x, y, psi, vel)
-        wp_start = ref.get_waypoints(0.0, 0.0, 0.0)
-        wp_end = ref.get_waypoints(49.0, 0.0, 0.0)
-        assert not bool(wp_start.stop) or float(wp_start.s0) > 40
+        ref.set_traj(long_x, y, psi, vel)
+        wp = ref.get_waypoints(0.0, 0.0, 0.0)
+        assert not bool(wp.stop)  # 37.5 m window < 50 m of path
+
+        short_x = np.linspace(0, 5, 20)  # only 5 m of path left
+        ref.set_traj(short_x, np.zeros(20), np.zeros(20), np.full(20, 5.0))
+        wp_end = ref.get_waypoints(0.0, 0.0, 0.0)
         assert bool(wp_end.stop)
 
     def test_yaw_seam_continuity(self):
