@@ -287,6 +287,80 @@ def lemniscate_trajectory(
     return minimum_snap_trajectory(traj, yaw, t_ref, quad)
 
 
+def straight_trajectory(
+    quad: QuadrotorParams = QuadrotorParams(),
+    discretization_dt: float = 0.01,
+    start=np.array([0.0, 0.0, 1.0]),
+    end=np.array([10.0, 0.0, 1.0]),
+    speed: float = 2.0,
+):
+    """Straight line with sin^2 speed ramp-up/coast/ramp-down
+    (``trajectories.py:307-321``)."""
+    start = np.asarray(start, dtype=float)
+    end = np.asarray(end, dtype=float)
+    length = float(np.linalg.norm(end - start))
+    direction = (end - start) / max(length, 1e-9)
+
+    # sin^2 ramps cover speed*ramp_t/2 distance each end; clamp ramp time so
+    # the two ramps never exceed the total length (short hops).
+    ramp_t = min(speed / 1.0, length / speed)  # ramp at ~1 m/s^2
+    dt = discretization_dt
+    coast_len = max(length - speed * ramp_t, 0.0)
+    coast_t = coast_len / speed
+
+    t_up = np.arange(0.0, ramp_t, dt)
+    v_up = speed * np.sin(np.pi * t_up / (2 * ramp_t)) ** 2
+    t_c = np.arange(0.0, coast_t, dt)
+    v_c = np.full_like(t_c, speed)
+    t_dn = np.arange(0.0, ramp_t, dt)
+    v_dn = speed * np.cos(np.pi * t_dn / (2 * ramp_t)) ** 2
+
+    v = np.concatenate([v_up, v_c, v_dn])
+    t_ref = np.arange(len(v)) * dt
+    s = np.cumsum(v) * dt
+    a = np.gradient(v) / dt
+
+    pos = start[None, :] + s[:, None] * direction[None, :]
+    vel = v[:, None] * direction[None, :]
+    acc = a[:, None] * direction[None, :]
+    traj = np.stack([pos.T, vel.T, acc.T])
+    yaw = np.zeros((2, len(v)))
+    return minimum_snap_trajectory(traj, yaw, t_ref, quad)
+
+
+def random_trajectory(
+    quad: QuadrotorParams = QuadrotorParams(),
+    discretization_dt: float = 0.01,
+    seed: int = 0,
+    duration: float = 20.0,
+    n_keyframes: int = 8,
+    map_limits=((-5.0, 5.0), (-5.0, 5.0), (0.5, 3.0)),
+):
+    """Random smooth aggressive trajectory (``trajectories.py:324-354``):
+    periodic random keyframes -> multi-segment min-snap polynomial ->
+    differential-flatness reference."""
+    from ad_mpc_tpu.trajectories.keyframes import random_periodical_keyframes
+    from ad_mpc_tpu.trajectories.polynomial import (
+        fit_multi_segment_polynomial,
+        sample_polynomial_trajectory,
+    )
+
+    kf, _ = random_periodical_keyframes(
+        n_keyframes=n_keyframes, map_limits=map_limits, seed=seed
+    )
+    # Time allocation proportional to segment length.
+    seg_len = np.linalg.norm(np.diff(kf, axis=0), axis=1)
+    t_knots = np.concatenate([[0.0], np.cumsum(seg_len)])
+    t_knots = t_knots / max(t_knots[-1], 1e-9) * duration
+
+    coeffs = fit_multi_segment_polynomial(t_knots, kf)
+    derivs, t_ref = sample_polynomial_trajectory(
+        coeffs, t_knots, discretization_dt
+    )
+    yaw = np.zeros((2, len(t_ref)))
+    return minimum_snap_trajectory(derivs, yaw, t_ref, quad)
+
+
 # ----------------------------------------------------------------- validator
 
 def check_trajectory(trajectory, inputs, tvec, atol=(1e-2, 1e-3, 0.05)):
