@@ -38,6 +38,7 @@ class GPEnsemble(NamedTuple):
     k_inv_y: jax.Array  # (D, C, n)
     len_scale: jax.Array  # (D, C, d)
     sigma_f: jax.Array  # (D, C)
+    sigma_n: jax.Array  # (D, C)
     y_mean: jax.Array  # (D, C)
     centroids: jax.Array  # (D, C, d)
     out_idx: tuple  # static: which state dims the outputs correct (e.g. 7,8,9)
@@ -73,6 +74,7 @@ class GPEnsemble(NamedTuple):
         a_all = np.zeros((D, C, n_max))
         ls = np.zeros((D, C, gps[0][0].len_scale.shape[0]))
         sf = np.zeros((D, C))
+        sn = np.zeros((D, C))
         ym = np.zeros((D, C))
         cen = np.zeros((D, C, gps[0][0].centroid.shape[0]))
         for i, row in enumerate(gps):
@@ -82,6 +84,7 @@ class GPEnsemble(NamedTuple):
                 x_all[i, j], a_all[i, j] = pad(g)
                 ls[i, j] = np.asarray(g.len_scale)
                 sf[i, j] = float(g.sigma_f)
+                sn[i, j] = float(g.sigma_n)
                 ym[i, j] = float(g.y_mean)
                 cen[i, j] = np.asarray(g.centroid)
         return GPEnsemble(
@@ -89,6 +92,7 @@ class GPEnsemble(NamedTuple):
             k_inv_y=jnp.asarray(a_all),
             len_scale=jnp.asarray(ls),
             sigma_f=jnp.asarray(sf),
+            sigma_n=jnp.asarray(sn),
             y_mean=jnp.asarray(ym),
             centroids=jnp.asarray(cen),
             out_idx=tuple(int(i) for i in out_idx),
@@ -122,6 +126,36 @@ def predict(ens: GPEnsemble, z, cluster_idx=None):
     diff = (z[None, None, :] - x_t) / ls[:, None, :]
     k_s = sf[:, None] * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))  # (D, n)
     return jnp.sum(k_s * a, axis=-1) + ym
+
+
+def predict_variance(ens: GPEnsemble, z, cluster_idx=None):
+    """Posterior variances of all output dims at feature z: (D,).
+
+    Computed on the fly from the stacked training sets (clusters are small,
+    n~30, so the per-call Cholesky is cheap); feeds the +-3 sigma bands of
+    ``gp_visualization`` and the GP-covariance branch of
+    :func:`ad_mpc_tpu.ocp.propagation.forward_prop`.
+    """
+    if cluster_idx is None:
+        cluster_idx = select_cluster(ens, z)
+    D = ens.x_train.shape[0]
+    dim_range = jnp.arange(D)
+
+    x_t = ens.x_train[dim_range, cluster_idx]  # (D, n, d)
+    ls = ens.len_scale[dim_range, cluster_idx]  # (D, d)
+    sf = ens.sigma_f[dim_range, cluster_idx]  # (D,)
+    sn = ens.sigma_n[dim_range, cluster_idx]  # (D,)
+
+    def one(x_t_d, ls_d, sf_d, sn_d):
+        diff = (x_t_d[:, None, :] - x_t_d[None, :, :]) / ls_d
+        K = sf_d * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))
+        K = K + (sn_d**2 + 1e-6) * jnp.eye(K.shape[0])
+        ds = (z[None, :] - x_t_d) / ls_d
+        k_s = sf_d * jnp.exp(-0.5 * jnp.sum(ds * ds, axis=-1))
+        sol = jnp.linalg.solve(K, k_s)
+        return jnp.maximum(sf_d - jnp.dot(k_s, sol), 1e-12)
+
+    return jax.vmap(one)(x_t, ls, sf, sn)
 
 
 def body_frame_features(x, feat_idx):

@@ -44,6 +44,40 @@ def fit_gp_ensemble(
     return GPEnsemble.from_gps(gps, out_idx=out_idx, feat_idx=feat_idx)
 
 
+def distill_gp(
+    z_train,
+    y_train,
+    n_compact: int = 20,
+    n_synthetic: int = 400,
+    n_restarts: int = 3,
+    seed: int = 0,
+):
+    """Dense-GP distillation (``gp_fitting.py:192-288``): fit a dense GP on
+    the full training set, sample a synthetic dataset from its posterior
+    mean on feature-space grid draws, then fit a compact GP on
+    distance-maximizing synthetic points. Returns the compact
+    :class:`~ad_mpc_tpu.learned.gp.GPParams`.
+    """
+    import jax
+
+    z_train = np.asarray(z_train)
+    y_train = np.asarray(y_train).reshape(-1)
+    rng = np.random.default_rng(seed)
+
+    dense = fit_gp(z_train, y_train, n_restarts=n_restarts, seed=seed)
+
+    # Synthetic queries: uniform draws over the (slightly inflated) training
+    # bounding box (gp_fitting.py's grid sampling).
+    lo, hi = z_train.min(axis=0), z_train.max(axis=0)
+    pad = 0.05 * (hi - lo + 1e-9)
+    z_syn = rng.uniform(lo - pad, hi + pad, size=(n_synthetic, z_train.shape[1]))
+    y_syn = np.asarray(jax.vmap(lambda z: predict_mean(dense, z))(z_syn))
+
+    sel = select_training_points(z_syn, y_syn, n_compact, method="kmeans",
+                                 seed=seed)
+    return fit_gp(z_syn[sel], y_syn[sel], n_restarts=n_restarts, seed=seed)
+
+
 def evaluate_ensemble(
     ens: GPEnsemble, test: ResidualDataset
 ) -> dict:

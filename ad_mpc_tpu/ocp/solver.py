@@ -47,6 +47,21 @@ class SolveResult(NamedTuple):
     alpha: jax.Array  # last-QP step sizes (diagnostics)
 
 
+def save_iterate(path: str, state: SolverState) -> str:
+    """Persist an RTI warm-start iterate to disk — the ACADOS
+    ``store_iterate`` capability (``ad_3d_optimizer.py:453-455``,
+    ``src/ad_mpc/solve_iteration.json``) with npz instead of json."""
+    np.savez(path, xs=np.asarray(state.xs), us=np.asarray(state.us))
+    return path
+
+
+def load_iterate(path: str) -> SolverState:
+    """Restore a warm-start iterate saved by :func:`save_iterate`
+    (ACADOS ``load_iterate``)."""
+    with np.load(path) as z:
+        return SolverState(xs=jnp.asarray(z["xs"]), us=jnp.asarray(z["us"]))
+
+
 class SQPSolver:
     """Factory wiring an OCPSpec + dynamics into jitted solve/shift calls.
 
