@@ -41,6 +41,7 @@ class GPEnsemble(NamedTuple):
     sigma_n: jax.Array  # (D, C)
     y_mean: jax.Array  # (D, C)
     centroids: jax.Array  # (D, C, d)
+    n_valid: jax.Array  # (D, C) true (unpadded) training-set sizes
     out_idx: tuple  # static: which state dims the outputs correct (e.g. 7,8,9)
     feat_idx: tuple  # static: which body-frame state dims form z (e.g. 7,8,9)
 
@@ -77,6 +78,7 @@ class GPEnsemble(NamedTuple):
         sn = np.zeros((D, C))
         ym = np.zeros((D, C))
         cen = np.zeros((D, C, gps[0][0].centroid.shape[0]))
+        nv = np.zeros((D, C), dtype=np.int32)
         for i, row in enumerate(gps):
             order = np.argsort([float(g.centroid[0]) for g in row])
             for j, cj in enumerate(order):
@@ -87,6 +89,7 @@ class GPEnsemble(NamedTuple):
                 sn[i, j] = float(g.sigma_n)
                 ym[i, j] = float(g.y_mean)
                 cen[i, j] = np.asarray(g.centroid)
+                nv[i, j] = int(g.x_train.shape[0])
         return GPEnsemble(
             x_train=jnp.asarray(x_all),
             k_inv_y=jnp.asarray(a_all),
@@ -95,6 +98,7 @@ class GPEnsemble(NamedTuple):
             sigma_n=jnp.asarray(sn),
             y_mean=jnp.asarray(ym),
             centroids=jnp.asarray(cen),
+            n_valid=jnp.asarray(nv),
             out_idx=tuple(int(i) for i in out_idx),
             feat_idx=tuple(int(i) for i in feat_idx),
         )
@@ -145,17 +149,25 @@ def predict_variance(ens: GPEnsemble, z, cluster_idx=None):
     ls = ens.len_scale[dim_range, cluster_idx]  # (D, d)
     sf = ens.sigma_f[dim_range, cluster_idx]  # (D,)
     sn = ens.sigma_n[dim_range, cluster_idx]  # (D,)
+    nv = ens.n_valid[dim_range, cluster_idx]  # (D,)
 
-    def one(x_t_d, ls_d, sf_d, sn_d):
+    def one(x_t_d, ls_d, sf_d, sn_d, nv_d):
+        n = x_t_d.shape[0]
+        # Padded rows (repeats of row 0 beyond nv_d) must not enter the
+        # posterior as extra observations: zero their k_s entries and
+        # decouple them from K (identity rows/cols) so the solve ignores
+        # them exactly.
+        m = (jnp.arange(n) < nv_d).astype(x_t_d.dtype)
         diff = (x_t_d[:, None, :] - x_t_d[None, :, :]) / ls_d
         K = sf_d * jnp.exp(-0.5 * jnp.sum(diff * diff, axis=-1))
-        K = K + (sn_d**2 + 1e-6) * jnp.eye(K.shape[0])
+        K = K * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        K = K + (sn_d**2 + 1e-6) * jnp.diag(m)
         ds = (z[None, :] - x_t_d) / ls_d
-        k_s = sf_d * jnp.exp(-0.5 * jnp.sum(ds * ds, axis=-1))
+        k_s = sf_d * jnp.exp(-0.5 * jnp.sum(ds * ds, axis=-1)) * m
         sol = jnp.linalg.solve(K, k_s)
         return jnp.maximum(sf_d - jnp.dot(k_s, sol), 1e-12)
 
-    return jax.vmap(one)(x_t, ls, sf, sn)
+    return jax.vmap(one)(x_t, ls, sf, sn, nv)
 
 
 def body_frame_features(x, feat_idx):

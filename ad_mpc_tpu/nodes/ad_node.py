@@ -99,11 +99,14 @@ class ADControllerNode:
         healthy = ok and bool(safety.check_pred_traj(np.asarray(xs), x))
         armed = self.gate.update(healthy)
         if not armed:
+            # While unarmed the auxiliary fallback controller publishes
+            # hold-steering + full braking on EVERY tick (the reference's
+            # run_pure runs continuously while the MPC is deemed unsafe,
+            # gp_ad_mpc_node.py:446-481) — never silence the actuator and
+            # let the plant coast on its last command.
             self.n_unsafe += 1
-            if self.gate.count == 0:  # hard failure -> brake fallback
-                u_brake, steer = safety.brake_command(float(x[6]))
-                return np.array([float(u_brake[0]), 0.0, steer], np.float32)
-            return None
+            u_brake, steer = safety.brake_command(float(x[6]))
+            return np.array([float(u_brake[0]), 0.0, steer], np.float32)
 
         u0 = np.asarray(us[0])
         # steering command = current steering + rate * (1/10 period), the

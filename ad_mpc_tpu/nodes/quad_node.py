@@ -128,6 +128,11 @@ class QuadMissionNode:
         """
         x = np.asarray(x)
         self._msg_count += 1
+        if self.phase == MissionPhase.OFF:
+            # Motors off: clear the held command so skipped-message gating
+            # can never replay a stale pre-landing thrust.
+            self._last_u = np.zeros(4)
+            return self._last_u
         if (self._msg_count - 1) % self.optimize_every != 0:
             return self._last_u
 
@@ -169,8 +174,9 @@ class QuadMissionNode:
             if x[2] < self.land_z + 0.05 and np.linalg.norm(x[7:10]) < 0.3:
                 self.phase = MissionPhase.OFF
 
-        else:  # OFF
-            return np.zeros(4)
+        else:  # OFF (unreachable: handled before the gating above)
+            self._last_u = np.zeros(4)
+            return self._last_u
 
         self.mpc.set_reference(ref, u_ref)
         us, xs = self.mpc.optimize(x)

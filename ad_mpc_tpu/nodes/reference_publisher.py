@@ -67,9 +67,10 @@ class ReferenceGenerator:
                 self.quad, discretization_dt=self.dt, v_max=v
             )
         if self.mode == "random":
+            # Speed-based time allocation (higher v -> faster flight),
+            # matching the reference's av_dt = av_dist/speed semantics.
             return random_trajectory(
-                self.quad, discretization_dt=self.dt, seed=seed,
-                duration=max(4.0 * v, 8.0),
+                self.quad, discretization_dt=self.dt, seed=seed, speed=v,
             )
         # hover: a short constant point reference.
         n = int(2.0 / self.dt)
@@ -117,7 +118,23 @@ class ReferencePublisherNode:
         self.pub = Publisher(reference_port)
         self.busy_sub = Subscriber(busy_port)
 
-    def run(self, poll_ms: int = 100, max_trajectories: int | None = None):
+    def run(
+        self,
+        poll_ms: int = 100,
+        max_trajectories: int | None = None,
+        timeout_s: float = 120.0,
+    ):
+        """Publish trajectories one at a time with the busy handshake.
+
+        Robustness over the reference's bare flag wait
+        (``reference_publisher_node.py:161-167``): the busy subscriber is
+        drained before each publish (a stale queued busy=False must not
+        release the next trajectory immediately), a busy=True must be seen
+        before a busy=False is accepted, and the whole wait is bounded by
+        ``timeout_s`` so a dead controller cannot spin the publisher forever.
+        """
+        import time
+
         sent = 0
         while True:
             if max_trajectories is not None and sent >= max_trajectories:
@@ -125,11 +142,22 @@ class ReferencePublisherNode:
             nxt = self.gen.next_trajectory()
             if nxt is None:
                 break
+            # Drain any stale busy messages queued before this publish.
+            while self.busy_sub.receive(timeout_ms=0) is not None:
+                pass
             self.pub.publish(TAG_REFERENCE, encode_reference(*nxt))
             sent += 1
-            # Busy handshake: wait for a False busy flag.
-            while True:
+            # Busy handshake: require at least one busy=True (the controller
+            # acknowledged the trajectory) before accepting busy=False.
+            saw_busy = False
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
                 msg = self.busy_sub.receive(timeout_ms=poll_ms)
-                if msg is not None and not bool(np.asarray(msg[1]).ravel()[0]):
+                if msg is None:
+                    continue
+                busy = bool(np.asarray(msg[1]).ravel()[0])
+                if busy:
+                    saw_busy = True
+                elif saw_busy:
                     break
         return sent

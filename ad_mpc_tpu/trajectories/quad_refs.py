@@ -332,13 +332,21 @@ def random_trajectory(
     quad: QuadrotorParams = QuadrotorParams(),
     discretization_dt: float = 0.01,
     seed: int = 0,
-    duration: float = 20.0,
+    duration: float = None,
+    speed: float = 1.5,
     n_keyframes: int = 8,
     map_limits=((-5.0, 5.0), (-5.0, 5.0), (0.5, 3.0)),
 ):
     """Random smooth aggressive trajectory (``trajectories.py:324-354``):
     periodic random keyframes -> multi-segment min-snap polynomial ->
-    differential-flatness reference."""
+    differential-flatness reference.
+
+    Time allocation mirrors the reference's ``av_dt = av_dist / speed``
+    (``trajectories.py:341-343``): segment durations are segment length over
+    the target ``speed``, so higher speed means a faster (shorter) flight
+    over the same keyframe path. ``duration`` (if given) overrides speed by
+    scaling the total flight time instead.
+    """
     from ad_mpc_tpu.trajectories.keyframes import random_periodical_keyframes
     from ad_mpc_tpu.trajectories.polynomial import (
         fit_multi_segment_polynomial,
@@ -348,9 +356,11 @@ def random_trajectory(
     kf, _ = random_periodical_keyframes(
         n_keyframes=n_keyframes, map_limits=map_limits, seed=seed
     )
-    # Time allocation proportional to segment length.
+    # Time allocation proportional to segment length, scaled by target speed.
     seg_len = np.linalg.norm(np.diff(kf, axis=0), axis=1)
     t_knots = np.concatenate([[0.0], np.cumsum(seg_len)])
+    if duration is None:
+        duration = max(float(t_knots[-1]) / max(speed, 1e-6), 2.0)
     t_knots = t_knots / max(t_knots[-1], 1e-9) * duration
 
     coeffs = fit_multi_segment_polynomial(t_knots, kf)

@@ -75,6 +75,35 @@ class TestEnsemble:
         mu_pad = float(predict(ens, z, cluster_idx=idx)[0])
         assert abs(mu_pad - float(predict_mean(g1, z))) < 1e-8
 
+    def test_padded_variance_matches_single_gp(self):
+        # Padded rows must not enter K as extra observations: the posterior
+        # variance of the SMALL cluster (padded inside the stacked ensemble)
+        # must equal the exact single-GP variance computed without padding.
+        from ad_mpc_tpu.learned.ensemble import predict_variance
+
+        X1 = rng.uniform(-1, 1, (12, 1))
+        X2 = rng.uniform(-1, 1, (40, 1))
+        g1 = fit_gp(X1, np.sin(X1[:, 0]), n_restarts=2)
+        g2 = fit_gp(X2, np.cos(X2[:, 0]), n_restarts=2)
+        ens = GPEnsemble.from_gps([[g1, g2]], out_idx=(7,), feat_idx=(7,))
+        z = np.array([0.3])
+        idx = np.array(
+            [0 if float(g1.centroid[0]) < float(g2.centroid[0]) else 1]
+        )
+        var_pad = float(predict_variance(ens, z, cluster_idx=idx)[0])
+
+        # Exact single-GP posterior variance, numpy reference.
+        Xt = np.asarray(g1.x_train)
+        ls = np.asarray(g1.len_scale)
+        sf, sn = float(g1.sigma_f), float(g1.sigma_n)
+        diff = (Xt[:, None, :] - Xt[None, :, :]) / ls
+        K = sf * np.exp(-0.5 * np.sum(diff * diff, axis=-1))
+        K = K + (sn**2 + 1e-6) * np.eye(len(Xt))
+        ds = (z[None, :] - Xt) / ls
+        k_s = sf * np.exp(-0.5 * np.sum(ds * ds, axis=-1))
+        var_exact = sf - k_s @ np.linalg.solve(K, k_s)
+        assert abs(var_pad - var_exact) < 1e-5 * max(abs(var_exact), 1e-9)
+
 
 class TestRDRv:
     def test_recovers_linear_drag(self):
