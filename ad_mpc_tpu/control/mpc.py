@@ -154,9 +154,21 @@ def quad_spec(
 
 
 class QuadMPC:
-    """Quadrotor MPC facade (``Quad3DMPC`` capability set, nominal/RDRv
-    models; GP-ensemble augmentation plugs in as a residual closure via
-    :mod:`ad_mpc_tpu.learned`)."""
+    """Quadrotor MPC facade (``Quad3DMPC`` capability set: nominal / RDRv /
+    GP-ensemble models).
+
+    GP mode (``ensemble`` given) reproduces the reference's full mechanism
+    (``quad_3d_optimizer.py:289-327, 489-493``):
+
+    - **dual-state evaluation**: ``optimize(x0, gp_x0=...)`` evaluates the
+      GP at node 0 on a second (EKF) state estimate while the dynamics use
+      the control state — the ACADOS ``trigger`` stage parameter, here a
+      per-stage parameter row that is 1 only at node 0;
+    - **per-solve cluster selection**: the cluster is picked by nearest
+      centroid at the horizon-midpoint state of the current warm start
+      (``select_gp`` on node N/2) and pinned for the whole solve via the
+      stage parameters — no per-cluster recompilation.
+    """
 
     def __init__(
         self,
@@ -164,18 +176,56 @@ class QuadMPC:
         spec: Optional[OCPSpec] = None,
         rdrv_d=None,
         residual_fn=None,
+        ensemble=None,
         dtype=jnp.float32,
     ):
         self.params = params
         self.spec = spec if spec is not None else quad_spec()
+        self.ensemble = ensemble
+        self.last_cluster = None
 
-        def dyn(x, u):
-            xd = quad_dynamics(x, u, params, rdrv_d=rdrv_d)
-            if residual_fn is not None:
-                xd = xd + residual_fn(x, u)
-            return xd
+        if ensemble is not None:
+            from ad_mpc_tpu.learned.ensemble import (
+                body_frame_features,
+                predict,
+            )
+            from ad_mpc_tpu.utils.math import v_dot_q
 
-        self.solver = SQPSolver(self.spec, dyn, p_dim=0, dtype=dtype)
+            D = len(ensemble.out_idx)
+            self._gp_D = D
+            out_idx = ensemble.out_idx
+
+            def dyn(x, u, p):
+                # p = [trigger, mu0_body (D,), cluster_idx (D,)]
+                trigger = p[0]
+                mu0 = p[1 : 1 + D]
+                cl = p[1 + D : 1 + 2 * D].astype(jnp.int32)
+                z = body_frame_features(x, ensemble.feat_idx)
+                mu = predict(ensemble, z, cluster_idx=cl)
+                mu = jnp.where(trigger > 0.5, mu0, mu).astype(
+                    jnp.result_type(x)
+                )
+                full_body = jnp.zeros(3, jnp.result_type(x))
+                for k, dim in enumerate(out_idx):
+                    full_body = full_body.at[dim - 7].set(mu[k])
+                mu_world = v_dot_q(full_body, x[3:7])
+                xd = quad_dynamics(x, u, params, rdrv_d=rdrv_d)
+                if residual_fn is not None:
+                    xd = xd + residual_fn(x, u)
+                return xd.at[7:10].add(mu_world)
+
+            self.solver = SQPSolver(
+                self.spec, dyn, p_dim=1 + 2 * D, dtype=dtype
+            )
+        else:
+
+            def dyn(x, u):
+                xd = quad_dynamics(x, u, params, rdrv_d=rdrv_d)
+                if residual_fn is not None:
+                    xd = xd + residual_fn(x, u)
+                return xd
+
+            self.solver = SQPSolver(self.spec, dyn, p_dim=0, dtype=dtype)
         self.state: Optional[SolverState] = None
         self._yref_x = None
         self._yref_u = None
@@ -194,12 +244,44 @@ class QuadMPC:
         self._yref_x = jnp.asarray(x_ref[: N + 1])
         self._yref_u = jnp.asarray(u_ref[:N])
 
-    def optimize(self, x0):
+    def optimize(self, x0, gp_x0=None):
+        """One solve. ``gp_x0``: optional second (EKF) state estimate used
+        ONLY for the node-0 GP evaluation (``quad_3d.py:112-132``, the
+        reference's ``set_gp_state``); dynamics and x0 bound use ``x0``."""
         x0 = jnp.asarray(x0)
         if self.state is None:
             self.state = self.solver.init_state(x0)
+
+        if self.ensemble is None:
+            params = jnp.zeros((0,))
+        else:
+            from ad_mpc_tpu.learned.ensemble import (
+                body_frame_features,
+                predict,
+                select_cluster,
+            )
+
+            ens = self.ensemble
+            N = self.spec.n_nodes
+            D = self._gp_D
+            # Per-solve cluster from the horizon-midpoint warm-start state
+            # (quad_3d_optimizer.py:489-493).
+            z_mid = body_frame_features(self.state.xs[N // 2], ens.feat_idx)
+            cl = select_cluster(ens, z_mid)
+            self.last_cluster = np.asarray(cl)
+            # Node-0 GP mean from the GP-specific state estimate.
+            x_gp = x0 if gp_x0 is None else jnp.asarray(gp_x0)
+            mu0 = predict(
+                ens, body_frame_features(x_gp, ens.feat_idx), cluster_idx=cl
+            )
+            trigger = jnp.zeros((N, 1)).at[0, 0].set(1.0)
+            row = jnp.concatenate([mu0, cl.astype(mu0.dtype)])
+            params = jnp.concatenate(
+                [trigger, jnp.tile(row[None], (N, 1))], axis=1
+            )
+
         res = self.solver.solve(
-            x0, self._yref_x, self._yref_u, jnp.zeros((0,)), self.state
+            x0, self._yref_x, self._yref_u, params, self.state
         )
         self.state = self.solver.shift(res.state)
         return res.us, res.xs

@@ -104,6 +104,16 @@ class GPEnsemble(NamedTuple):
         )
 
 
+def homogeneous_feature_space(ens: GPEnsemble) -> bool:
+    """True when every output dimension shares identical cluster centroids
+    (``gp.py:772-788``): selection can then be computed once instead of per
+    output dimension."""
+    if ens.x_train.shape[0] == 1:
+        return True
+    cen = np.asarray(ens.centroids)
+    return bool(np.all(cen == cen[0:1]))
+
+
 def select_cluster(ens: GPEnsemble, z):
     """Nearest-centroid cluster index per output dim (``gp.py:738-770``).
     z: (d,) -> (D,) int."""
@@ -178,6 +188,29 @@ def body_frame_features(x, feat_idx):
     v_b = v_dot_q(x[7:10], quaternion_inverse(q))
     x_body = x.at[7:10].set(v_b) if hasattr(x, "at") else x
     return jnp.stack([x_body[i] for i in feat_idx])
+
+
+def state_residual_fn(ens: GPEnsemble, fixed_cluster=None):
+    """Generic dynamics-residual closure: GP outputs add directly to
+    ``x_dot`` at ``out_idx`` with features taken straight from the state at
+    ``feat_idx`` (no frame rotation).
+
+    This generalizes the ensemble beyond the quadrotor layout — e.g. a GP
+    residual on the *bicycle lateral dynamics* (BASELINE config 3) uses
+    ``out_idx=(4, 5)`` (v_y, psi_dot corrections) and
+    ``feat_idx=(3, 4, 5, 6)`` (v_x, v_y, psi_dot, delta).
+    """
+
+    def residual(x, u):
+        dtype = jnp.result_type(x)
+        z = jnp.stack([x[i] for i in ens.feat_idx])
+        mu = predict(ens, z, cluster_idx=fixed_cluster).astype(dtype)
+        xd = jnp.zeros_like(x)
+        for k, dim in enumerate(ens.out_idx):
+            xd = xd.at[dim].set(mu[k])
+        return xd
+
+    return residual
 
 
 def quad_residual_fn(ens: GPEnsemble, fixed_cluster=None):

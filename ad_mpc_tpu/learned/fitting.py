@@ -25,18 +25,31 @@ def fit_gp_ensemble(
     n_restarts: int = 3,
     selection: str = "kmeans",
     seed: int = 0,
+    gmm_cache_path: str | None = None,
+    top2_thresh: float = 0.2,
 ) -> GPEnsemble:
-    """Fit one GP per (output dim, cluster) and stack into an ensemble."""
+    """Fit one GP per (output dim, cluster) and stack into an ensemble.
+
+    Clusters use the reference's soft top-2 GMM agency
+    (``gp_common.py:254-262``): a sample whose second-best membership
+    probability exceeds ``top2_thresh`` trains BOTH clusters, smoothing the
+    boundaries. ``gmm_cache_path`` enables the gmm.pkl cache."""
     if n_clusters > 1:
-        dataset.cluster(n_clusters, feat_idx=feat_idx, seed=seed)
+        dataset.cluster(n_clusters, feat_idx=feat_idx, seed=seed,
+                        cache_path=gmm_cache_path)
+        agency = dataset.cluster_agency(feat_idx=feat_idx,
+                                        top2_thresh=top2_thresh)
     else:
         dataset.cluster_labels = np.zeros(len(dataset.x_in), dtype=int)
+        agency = {0: np.arange(len(dataset.x_in))}
 
+    z_all = dataset.features(feat_idx)
     gps = [[] for _ in out_idx]
-    for c, sub in dataset.cluster_subsets(feat_idx=feat_idx):
-        z = sub.features(feat_idx)
+    for c in sorted(agency):
+        idx = agency[c]
+        z = z_all[idx]
         for i, dim in enumerate(out_idx):
-            y = sub.targets(dim)
+            y = dataset.y[idx, dim]
             sel = select_training_points(z, y, n_points, method=selection,
                                          seed=seed)
             gps[i].append(fit_gp(z[sel], y[sel], n_restarts=n_restarts,

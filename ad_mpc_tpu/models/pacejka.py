@@ -74,3 +74,13 @@ def pacejka_bicycle_dynamics(x, u, params: PacejkaParams = PacejkaParams()):
     return jnp.stack(
         [p_x_dot, p_y_dot, psi_dot, v_x_dot, v_y_dot, psi_ddot, delta_dot]
     )
+
+
+def pacejka_dynamics_p(x, u, p, params: PacejkaParams = PacejkaParams()):
+    """Pacejka dynamics with runtime per-solve parameters
+    ``p = [mu, road_pitch, road_roll]`` — the friction/stiffness/topography
+    sweep axis of the BASELINE "Pacejka + road topography" configuration.
+    Batched scenarios vmap over ``p`` without recompilation (the reference
+    would need one ACADOS codegen per parameterization)."""
+    params = params._replace(mu=p[0], road_pitch=p[1], road_roll=p[2])
+    return pacejka_bicycle_dynamics(x, u, params)

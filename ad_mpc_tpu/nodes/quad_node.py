@@ -74,6 +74,12 @@ class QuadMissionNode:
         self._msg_count = 0
         self._last_u = np.asarray(hover_input())
         self._hover_point = None
+        # Sequence-number gating state (skipped-message compensation,
+        # gp_mpc_node.py:443-492).
+        self._last_seq = None
+        self._optimize_next = True
+        self.n_skipped = 0
+        self.last_xs = None  # latest predicted trajectory (for body rates)
 
         # Recording + RMSE bookkeeping.
         self.records: list[dict] = []
@@ -120,11 +126,19 @@ class QuadMissionNode:
 
     # ---------------------------------------------------------- mission step
 
-    def step(self, x: np.ndarray, t: float):
+    def step(self, x: np.ndarray, t: float, seq: int | None = None):
         """One odometry message: advance the state machine, maybe optimize.
 
         Returns the control (4,) to apply (the previous one on skipped
         messages, mirroring the every-2nd-msg gating).
+
+        ``seq``: odometry sequence number. When given, the gating uses the
+        reference's skipped-message compensation (``gp_mpc_node.py:443-492``):
+        an odd number of dropped messages flips the optimization phase so
+        the cadence is preserved, and a drop detected on an optimization
+        tick forces optimizing twice in a row to catch the reference up.
+        (The reference window itself is time-indexed here, so the
+        ``current_idx`` adjustment is inherent.)
         """
         x = np.asarray(x)
         self._msg_count += 1
@@ -133,7 +147,28 @@ class QuadMissionNode:
             # can never replay a stale pre-landing thrust.
             self._last_u = np.zeros(4)
             return self._last_u
-        if (self._msg_count - 1) % self.optimize_every != 0:
+
+        if seq is not None:
+            skipped = 0
+            if self._last_seq is not None:
+                skipped = max(int(seq) - self._last_seq - 1, 0)
+                self.n_skipped += skipped
+            self._last_seq = int(seq)
+            if not self._optimize_next:
+                if skipped % 2 == 1:
+                    # Odd drop count: optimize NOW to preserve the cadence.
+                    self._optimize_next = False
+                else:
+                    self._optimize_next = True
+                    return self._last_u
+            else:
+                if skipped > 0:
+                    # The reference is already late: optimize twice in a
+                    # row (this tick and the next).
+                    self._optimize_next = True
+                else:
+                    self._optimize_next = False
+        elif (self._msg_count - 1) % self.optimize_every != 0:
             return self._last_u
 
         # ----- state machine (gp_mpc_node.py:518-692)
@@ -181,6 +216,7 @@ class QuadMissionNode:
         self.mpc.set_reference(ref, u_ref)
         us, xs = self.mpc.optimize(x)
         u = np.asarray(us[0])
+        self.last_xs = np.asarray(xs)
 
         if self.record and self.phase == MissionPhase.TRACK:
             x_pred = np.asarray(self._nominal_F(jnp.asarray(x), jnp.asarray(u)))

@@ -24,9 +24,7 @@ from ad_mpc_tpu.trajectories import (
     random_trajectory,
 )
 
-REFERENCE_PORT = 47106
-BUSY_PORT = 47107
-TAG_REFERENCE = 7
+from ad_mpc_tpu.nodes.topics import BUSY_PORT, REFERENCE_PORT, TAG_REFERENCE
 
 
 class ReferenceGenerator:

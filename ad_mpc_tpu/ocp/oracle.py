@@ -48,6 +48,77 @@ class OracleResult(NamedTuple):
     message: str
 
 
+# Compiled objective/constraint functions are cached per (spec, dynamics) so
+# a parity sweep over many (x0, reference) instances compiles once.
+_FN_CACHE: dict = {}
+
+
+def _compiled_fns(spec: OCPSpec, dynamics: Callable):
+    import jax
+    import jax.numpy as jnp
+
+    from ad_mpc_tpu.ops.integrators import discretize
+
+    key = (spec, id(dynamics))
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+
+    N, nx, nu, dt = spec.n_nodes, spec.nx, spec.nu, spec.dt
+    Q, R, QN = spec.weight_arrays()
+    _, _, _, _, soft_u, _ = spec.bound_arrays()
+    qd, rd, qnd = np.diag(Q), np.diag(R), np.diag(QN)
+    soft_idx = np.flatnonzero(soft_u)
+    n_soft = len(soft_idx)
+    zl = np.where(soft_u, spec.zl_u, 0.0)[soft_idx]
+    zu = np.where(soft_u, spec.zu_u, 0.0)[soft_idx]
+    Zl = np.where(soft_u, spec.Zl_u, 0.0)[soft_idx]
+    Zu = np.where(soft_u, spec.Zu_u, 0.0)[soft_idx]
+    n_x, n_u = N * nx, N * nu
+    n_s = N * n_soft
+
+    def split(z):
+        xs = z[:n_x].reshape(N, nx)
+        us = z[n_x : n_x + n_u].reshape(N, nu)
+        s_lo = z[n_x + n_u : n_x + n_u + n_s].reshape(N, n_soft)
+        s_hi = z[n_x + n_u + n_s :].reshape(N, n_soft)
+        return xs, us, s_lo, s_hi
+
+    def objective_j(z, x0, yref_x, yref_u):
+        xs, us, s_lo, s_hi = split(z)
+        xs_full = jnp.concatenate([x0[None], xs], axis=0)
+        dx = xs_full[:-1] - yref_x[:-1]
+        du = us - yref_u
+        stage = 0.5 * jnp.sum(dx * dx * qd) + 0.5 * jnp.sum(du * du * rd)
+        dterm = xs_full[-1] - yref_x[-1]
+        term = 0.5 * jnp.sum(dterm * dterm * qnd)
+        slack = (
+            jnp.sum(s_lo * zl) + 0.5 * jnp.sum(s_lo * s_lo * Zl)
+            + jnp.sum(s_hi * zu) + 0.5 * jnp.sum(s_hi * s_hi * Zu)
+        )
+        return stage + term + slack
+
+    def defects_j(z, x0, params):
+        F = discretize(
+            lambda x, u: dynamics(x, u, params), dt, spec.rk4_steps
+        )
+        xs, us, _, _ = split(z)
+        xs_full = jnp.concatenate([x0[None], xs], axis=0)
+        pred = jax.vmap(F)(xs_full[:-1], us)
+        return (pred - xs_full[1:]).reshape(-1)
+
+    fns = dict(
+        obj=jax.jit(objective_j),
+        obj_grad=jax.jit(jax.grad(objective_j)),
+        defects=jax.jit(defects_j),
+        defects_jac=jax.jit(jax.jacrev(defects_j)),
+        split=split,
+        soft_idx=soft_idx,
+        penalties=(zl, zu, Zl, Zu),
+    )
+    _FN_CACHE[key] = fns
+    return fns
+
+
 def solve_ocp_oracle(
     spec: OCPSpec,
     dynamics: Callable,
@@ -68,17 +139,14 @@ def solve_ocp_oracle(
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental import enable_x64
     from scipy.optimize import Bounds, LinearConstraint, NonlinearConstraint, minimize
+
+    enable_x64 = lambda: jax.enable_x64(True)  # jax>=0.9 context manager
 
     from ad_mpc_tpu.ops.integrators import discretize, rollout
 
     N, nx, nu, dt = spec.n_nodes, spec.nx, spec.nu, spec.dt
-    Q, R, QN = spec.weight_arrays()
     lbu, ubu, lbx, ubx, soft_u, _ = spec.bound_arrays()
-    qd = np.diag(Q)
-    rd = np.diag(R)
-    qnd = np.diag(QN)
 
     x0 = np.asarray(x0, dtype=np.float64)
     yref_x = np.asarray(yref_x, dtype=np.float64).copy()
@@ -93,51 +161,22 @@ def solve_ocp_oracle(
 
     soft_idx = np.flatnonzero(soft_u)  # input entries with slack
     n_soft = len(soft_idx)
-    zl = np.where(soft_u, spec.zl_u, 0.0)[soft_idx]
-    zu = np.where(soft_u, spec.zu_u, 0.0)[soft_idx]
-    Zl = np.where(soft_u, spec.Zl_u, 0.0)[soft_idx]
-    Zu = np.where(soft_u, spec.Zu_u, 0.0)[soft_idx]
 
     n_x = N * nx
     n_u = N * nu
     n_s = N * n_soft
     n_z = n_x + n_u + 2 * n_s
 
-    def split(z):
-        xs = z[:n_x].reshape(N, nx)
-        us = z[n_x : n_x + n_u].reshape(N, nu)
-        s_lo = z[n_x + n_u : n_x + n_u + n_s].reshape(N, n_soft)
-        s_hi = z[n_x + n_u + n_s :].reshape(N, n_soft)
-        return xs, us, s_lo, s_hi
-
     with enable_x64():
+        fns = _compiled_fns(spec, dynamics)
+        split = fns["split"]
+        obj = lambda z: fns["obj"](z, x0, yref_x, yref_u)
+        obj_grad = lambda z: fns["obj_grad"](z, x0, yref_x, yref_u)
+        defects = lambda z: fns["defects"](z, x0, params)
+        defects_jac = lambda z: fns["defects_jac"](z, x0, params)
+
         F = discretize(lambda x, u: dynamics(x, u, jnp.asarray(params)),
                        dt, spec.rk4_steps)
-
-        def objective_j(z):
-            xs, us, s_lo, s_hi = split(z)
-            xs_full = jnp.concatenate([jnp.asarray(x0)[None], xs], axis=0)
-            dx = xs_full[:-1] - yref_x[:-1]
-            du = us - yref_u
-            stage = 0.5 * jnp.sum(dx * dx * qd) + 0.5 * jnp.sum(du * du * rd)
-            dterm = xs_full[-1] - yref_x[-1]
-            term = 0.5 * jnp.sum(dterm * dterm * qnd)
-            slack = (
-                jnp.sum(s_lo * zl) + 0.5 * jnp.sum(s_lo * s_lo * Zl)
-                + jnp.sum(s_hi * zu) + 0.5 * jnp.sum(s_hi * s_hi * Zu)
-            )
-            return stage + term + slack
-
-        def defects_j(z):
-            xs, us, _, _ = split(z)
-            xs_full = jnp.concatenate([jnp.asarray(x0)[None], xs], axis=0)
-            pred = jax.vmap(F)(xs_full[:-1], us)
-            return (pred - xs_full[1:]).reshape(-1)
-
-        obj = jax.jit(objective_j)
-        obj_grad = jax.jit(jax.grad(objective_j))
-        defects = jax.jit(defects_j)
-        defects_jac = jax.jit(jax.jacrev(defects_j))
 
         # Initial guess: constant-u rollout (same cold start as the solver).
         if us_init is None:

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ad_mpc_tpu.ocp.spec import OCPSpec
-from ad_mpc_tpu.ops.integrators import discretize, linearize, rollout
+from ad_mpc_tpu.ops.integrators import (
+    discretize,
+    linearize,
+    linearize_p,
+    rollout,
+    rollout_p,
+)
 from ad_mpc_tpu.ops.qp_ipm import BoundSpec, solve_lq_ocp
 from ad_mpc_tpu.utils.math import yaw_wrap_reference
 
@@ -117,7 +123,9 @@ class SQPSolver:
             """One MPC solve: ``spec.sqp_iters`` Gauss-Newton iterations.
 
             yref_x: (N+1, nx), yref_u: (N, nu), params: (p_dim,) broadcast to
-            all stages (stage-varying params: pass (N, p_dim)).
+            all stages, or (N, p_dim) for stage-varying parameters (the
+            ACADOS per-stage ``p`` — e.g. the quad GP 'trigger' active at
+            node 0 only, ``quad_3d_optimizer.py:289-327``).
             """
             with jax.default_matmul_precision(spec.matmul_precision):
                 return _solve_inner(x0, yref_x, yref_u, params, state)
@@ -137,14 +145,49 @@ class SQPSolver:
                     yaw_wrap_reference(yref_x[:, i], x0[i])
                 )
 
-            Fp = lambda x, u: F(x, u, params)
+            # Unify: params broadcast to per-stage rows (N, p_dim).
+            ps = params if params.ndim == 2 else jnp.tile(params[None], (N, 1))
+
+            def merit(xs_c, us_c):
+                """Exact merit on a dynamics-FEASIBLE candidate: the true LS
+                objective + the soft-bound penalty model + an L1 penalty on
+                hard-bound violation. Used by the full-SQP line search (RTI
+                mode never calls this); candidates are re-rolled through the
+                dynamics first, so no defect term is needed and descent in
+                this merit is descent in the actual NLP."""
+                dxr = xs_c[:-1] - yref_x[:-1]
+                dur = us_c - yref_u
+                obj = 0.5 * jnp.einsum("ki,ij,kj->", dxr, self._Q, dxr)
+                obj = obj + 0.5 * jnp.einsum("ki,ij,kj->", dur, self._R, dur)
+                dterm = xs_c[-1] - yref_x[-1]
+                obj = obj + 0.5 * dterm @ self._QN @ dterm
+                # Soft input-bound L1/L2 penalty (zl/zu, Zl/Zu).
+                ub_ = self._u_bounds
+                vlo = jnp.maximum(jnp.where(jnp.isfinite(ub_.lb),
+                                            ub_.lb - us_c, 0.0), 0.0)
+                vhi = jnp.maximum(jnp.where(jnp.isfinite(ub_.ub),
+                                            us_c - ub_.ub, 0.0), 0.0)
+                softf = ub_.soft.astype(us_c.dtype)
+                hardf = 1.0 - softf
+                obj = obj + jnp.sum(softf * (ub_.zl * vlo + ub_.zu * vhi))
+                obj = obj + 0.5 * jnp.sum(
+                    softf * (ub_.Zl * vlo**2 + ub_.Zu * vhi**2)
+                )
+                obj = obj + spec.ls_penalty * jnp.sum(hardf * (vlo + vhi))
+                # Hard state-bound violation (stages 1..N).
+                xb_ = self._x_bounds
+                xlo = jnp.maximum(jnp.where(jnp.isfinite(xb_.lb),
+                                            xb_.lb - xs_c[1:], 0.0), 0.0)
+                xhi = jnp.maximum(jnp.where(jnp.isfinite(xb_.ub),
+                                            xs_c[1:] - xb_.ub, 0.0), 0.0)
+                return obj + spec.ls_penalty * jnp.sum(xlo + xhi)
 
             def sqp_iter(carry, _):
                 xs, us = carry
                 # Pin the initial state (x0 equality bound,
                 # ad_3d_optimizer.py:441-442) then linearize along the iterate.
                 xs = xs.at[0].set(x0)
-                A, B, c = linearize(Fp, xs, us)
+                A, B, c = linearize_p(F, xs, us, ps)
 
                 Qs = jnp.concatenate(
                     [jnp.tile(self._Q[None], (N, 1, 1)), self._QN[None]], axis=0
@@ -163,6 +206,21 @@ class SQPSolver:
                     iters=spec.qp_iters,
                     reg=spec.levenberg,
                 )
+                if spec.ls_steps > 1:
+                    # Globalized step: candidate control sequences are
+                    # re-rolled through the dynamics (feasibility
+                    # restoration), then ranked by the exact merit — a
+                    # fixed candidate set keeps the trace branch-free.
+                    cands = 0.5 ** jnp.arange(spec.ls_steps, dtype=dtype)
+
+                    def eval_cand(a):
+                        us_c = us + a * du
+                        xs_c = rollout_p(F, x0, us_c, ps)
+                        return merit(xs_c, us_c), xs_c, us_c
+
+                    ms, xss, uss = jax.vmap(eval_cand)(cands)
+                    i = jnp.argmin(ms)
+                    return (xss[i], uss[i]), stats["alpha"]
                 return (xs + dx, us + du), stats["alpha"]
 
             (xs, us), alphas = jax.lax.scan(
@@ -170,7 +228,7 @@ class SQPSolver:
             )
 
             # KKT health metric: dynamics defect norm of the returned iterate.
-            defect = jax.vmap(Fp)(xs[:-1], us) - xs[1:]
+            defect = jax.vmap(F)(xs[:-1], us, ps) - xs[1:]
             kkt = jnp.sqrt(jnp.mean(defect**2))
 
             new_state = SolverState(xs=xs, us=us)
@@ -201,4 +259,159 @@ class SQPSolver:
         params = jnp.zeros((self.p_dim,), self.dtype)
         Fp = lambda x, u: self._F(x, u, params)
         xs = rollout(Fp, jnp.asarray(x0, self.dtype), us)
+        return SolverState(xs=xs, us=us)
+
+
+class BatchedSQPSolver:
+    """Fleet-scale SQP-RTI solver: one XLA program per tick with the QP
+    dispatched to the fused Pallas interior-point kernel
+    (:mod:`ad_mpc_tpu.ops.pallas_lq`) on TPU, or the vmapped XLA IPM
+    elsewhere.
+
+    This is the deployment analogue of running B independent ACADOS capsules
+    — except the whole fleet shares ONE compiled program and the QP runs as
+    a single kernel launch with the scenario batch on the TPU lane axis.
+    ``backend='xla'`` forces the vmapped :func:`solve_lq_ocp` path (used by
+    the equality tests); ``'pallas'`` forces the kernel (interpret mode off
+    TPU); ``'auto'`` picks pallas on TPU.
+    """
+
+    def __init__(
+        self,
+        spec: OCPSpec,
+        dynamics: Callable,
+        p_dim: int = 0,
+        backend: str = "auto",
+        block_b: int = 128,
+        interpret: Optional[bool] = None,
+    ):
+        self.spec = spec
+        self.p_dim = p_dim
+        dtype = jnp.float32
+        self.dtype = dtype
+        base = SQPSolver(spec, dynamics, p_dim=p_dim, dtype=dtype)
+        self.base = base
+        self._F = base._F
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if backend == "auto":
+            backend = "pallas" if on_tpu else "xla"
+        self.backend = backend
+
+        N, dt = spec.n_nodes, spec.dt
+        Q, R, QN = spec.weight_arrays()
+
+        if backend == "pallas":
+            from ad_mpc_tpu.ops.pallas_lq import make_lq_solver
+
+            def bdict(b: BoundSpec):
+                return dict(
+                    lb=np.asarray(b.lb, np.float64),
+                    ub=np.asarray(b.ub, np.float64),
+                    soft=np.asarray(b.soft, bool),
+                    zl=np.asarray(b.zl, np.float64),
+                    zu=np.asarray(b.zu, np.float64),
+                    Zl=np.asarray(b.Zl, np.float64),
+                    Zu=np.asarray(b.Zu, np.float64),
+                )
+
+            self._qp = make_lq_solver(
+                N, spec.nx, spec.nu, Q, R, QN,
+                bdict(base._u_bounds), bdict(base._x_bounds),
+                iters=spec.qp_iters, reg=spec.levenberg,
+                block_b=block_b,
+                interpret=(not on_tpu) if interpret is None else interpret,
+            )
+        else:
+            def qp_xla(A, B, c, q, r, u_ref, x_ref):
+                Qs = jnp.concatenate(
+                    [jnp.tile(base._Q[None], (N, 1, 1)), base._QN[None]],
+                    axis=0,
+                )
+                Rs = jnp.tile(base._R[None], (N, 1, 1))
+
+                def one(A, B, c, q, r, u_ref, x_ref):
+                    dx, du, stats = solve_lq_ocp(
+                        A, B, c, Qs, q, Rs, r,
+                        jnp.zeros(spec.nx, dtype),
+                        base._u_bounds, base._x_bounds,
+                        u_ref=u_ref, x_ref=x_ref,
+                        iters=spec.qp_iters, reg=spec.levenberg,
+                    )
+                    return dx, du, stats["alpha"][-1]
+
+                return jax.vmap(one)(A, B, c, q, r, u_ref, x_ref)
+
+            self._qp = qp_xla
+
+        Qj = jnp.asarray(Q, dtype)
+        QNj = jnp.asarray(QN, dtype)
+        Rj = jnp.asarray(R, dtype)
+
+        def solve(x0, yref_x, yref_u, params, state: SolverState):
+            """Batched solve. Shapes: x0 (B,nx), yref_x (B,N+1,nx), yref_u
+            (B,N,nu), params (B,p_dim), state arrays batched likewise."""
+            x0 = x0.astype(dtype)
+            yref_x = yref_x.astype(dtype)
+            yref_u = yref_u.astype(dtype)
+            params = params.astype(dtype)
+            with jax.default_matmul_precision(spec.matmul_precision):
+                if spec.yaw_wrap_idx is not None:
+                    i = spec.yaw_wrap_idx
+                    yref_x = yref_x.at[:, :, i].set(
+                        jax.vmap(yaw_wrap_reference)(
+                            yref_x[:, :, i], x0[:, i]
+                        )
+                    )
+
+                lin = jax.vmap(
+                    lambda xs, us, p: linearize(
+                        lambda x, u: self._F(x, u, p), xs, us
+                    )
+                )
+
+                def sqp_iter(carry, _):
+                    xs, us = carry
+                    xs = xs.at[:, 0].set(x0)
+                    A, B, c = lin(xs, us, params)
+                    q_lin = jnp.einsum(
+                        "ij,bkj->bki", Qj, xs[:, :-1] - yref_x[:, :-1]
+                    )
+                    q_term = jnp.einsum(
+                        "ij,bj->bi", QNj, xs[:, -1] - yref_x[:, -1]
+                    )
+                    q = jnp.concatenate([q_lin, q_term[:, None]], axis=1)
+                    r = jnp.einsum("ij,bkj->bki", Rj, us - yref_u)
+                    dx, du, alpha = self._qp(A, B, c, q, r, us, xs)
+                    return (xs + dx, us + du), alpha
+
+                (xs, us), alphas = jax.lax.scan(
+                    sqp_iter, (state.xs, state.us), None,
+                    length=spec.sqp_iters,
+                )
+
+                Fv = jax.vmap(jax.vmap(self._F, in_axes=(0, 0, None)),
+                              in_axes=(0, 0, 0))
+                defect = Fv(xs[:, :-1], us, params) - xs[:, 1:]
+                kkt = jnp.sqrt(jnp.mean(defect**2, axis=(1, 2)))
+
+                new_state = SolverState(xs=xs, us=us)
+                return SolveResult(us=us, xs=xs, state=new_state,
+                                   kkt_residual=kkt, alpha=alphas[-1])
+
+        self.solve = jax.jit(solve)
+
+        def shift(state: SolverState) -> SolverState:
+            xs = jnp.concatenate([state.xs[:, 1:], state.xs[:, -1:]], axis=1)
+            us = jnp.concatenate([state.us[:, 1:], state.us[:, -1:]], axis=1)
+            return SolverState(xs=xs, us=us)
+
+        self.shift = jax.jit(shift)
+
+    def init_state(self, x0s) -> SolverState:
+        """Cold start for a (B, nx) batch: constant-state warm start."""
+        x0s = jnp.asarray(x0s, self.dtype)
+        N = self.spec.n_nodes
+        xs = jnp.tile(x0s[:, None], (1, N + 1, 1))
+        us = jnp.zeros((x0s.shape[0], N, self.spec.nu), self.dtype)
         return SolverState(xs=xs, us=us)

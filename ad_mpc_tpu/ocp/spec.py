@@ -52,6 +52,12 @@ class OCPSpec:
     sqp_iters: int = 1  # 1 = RTI (reference SQP_RTI), >1 = full SQP
     qp_iters: int = 18  # fixed IPM iteration count
     levenberg: float = 1e-8  # Riccati regularization
+    # Globalization for full-SQP mode (the reference's plain 'SQP' solver
+    # type used for point references, ``create_ros_ad_mpc.py:88``): number
+    # of halving line-search candidates evaluated against an L1-penalty
+    # merit function. 1 = full Gauss-Newton steps (RTI behavior).
+    ls_steps: int = 1
+    ls_penalty: float = 1e3  # dynamics-defect L1 merit weight
     cost_scaling: str = "acados"  # 'acados' (dt-scaled stages) or 'unit'
     # Matmul precision inside the solver trace. TPU f32 matmuls default to
     # bf16 multiplication passes, which destroys the interior-point Riccati

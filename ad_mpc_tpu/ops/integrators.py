@@ -51,6 +51,31 @@ def rollout(F, x0, us):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
+def rollout_p(F, x0, us, ps):
+    """Roll a parameterized discrete map F(x, u, p) with per-stage params:
+    (nx,), (N, nu), (N, np) -> (N+1, nx). The stage-parameter mechanism is
+    the ACADOS per-stage ``p`` (e.g. the blend switch per node, or the quad
+    GP 'trigger' that is 1 only at node 0 — ``quad_3d_optimizer.py:289-327``)."""
+
+    def step(x, inp):
+        u, p = inp
+        x_next = F(x, u, p)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0, (us, ps))
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def linearize_p(F, xs, us, ps):
+    """Stage-wise linearization of a parameterized discrete map with
+    per-stage params (the per-stage VDE sweep)."""
+    xk = xs[:-1]
+    A = jax.vmap(jax.jacfwd(F, argnums=0))(xk, us, ps)
+    B = jax.vmap(jax.jacfwd(F, argnums=1))(xk, us, ps)
+    c = jax.vmap(F)(xk, us, ps) - xs[1:]
+    return A, B, c
+
+
 def linearize(F, xs, us):
     """Stage-wise linearization of the discrete dynamics along a trajectory.
 

@@ -133,9 +133,16 @@ def _cone_terms(v, bound, cone: _Cone, tau, lo: bool):
 
     lam_t = lam / t
     D = Z + lam_t + mu / sigma
-    # Soft: damped weight; hard: pure barrier weight lam/t.
+    # Soft: damped weight; hard: pure barrier weight lam/t. The weight is
+    # capped at 1e6: beyond that the bound is already "infinitely stiff"
+    # relative to any cost curvature, while uncapped weights (~1e8 at an
+    # active bound) make the f32 Riccati cancellation lose PSD-ness of the
+    # value Hessian and NaN the Cholesky. Constraint resolution under the
+    # cap is ~1e-6 — far below the 1e-3 parity tolerance.
     w_soft = lam_t * (1.0 - lam_t / D)
     w = jnp.where(soft, w_soft, jnp.where(hard, lam_t, 0.0))
+    w_cap = 1e6 if t.dtype == jnp.float32 else 1e12
+    w = jnp.minimum(w, w_cap)
 
     g_soft = -r1 / t + lam_t * (r3 + r1 / t + r2 / sigma) / D
     g_hard = -r1 / t
@@ -184,8 +191,12 @@ def _fraction_to_boundary(cone: _Cone, dcone: _Cone, frac=0.995):
 
 def _cone_complementarity(cone: _Cone, bound, lo: bool):
     lb_or_ub = bound.lb if lo else bound.ub
-    mask = _mask_finite(lb_or_ub)
-    soft = bound.soft & mask
+    # Broadcast the per-entry masks over the stage dimension: the numerator
+    # sums (n_stages, width) complementarity pairs, so the count must too —
+    # a per-entry count inflates mean complementarity by N and turns the
+    # tau = 0.1*mean centering rule into geometric barrier GROWTH.
+    mask = jnp.broadcast_to(_mask_finite(lb_or_ub), cone.t.shape)
+    soft = jnp.broadcast_to(bound.soft, cone.t.shape) & mask
     comp = jnp.where(mask, cone.t * cone.lam, 0.0) + jnp.where(
         soft, cone.sigma * cone.mu, 0.0
     )
@@ -278,8 +289,13 @@ def solve_lq_ocp(
 
         dx_new = dx + alpha * ddx
         du_new = du + alpha * ddu
+        # Positivity floor: in f32 the fraction-to-boundary update can round
+        # a tiny slack (sigma ~ tau/z ~ 1e-9 at convergence) to exact zero,
+        # making the next iteration's mu/sigma division non-finite.
+        floor = 1e-10
         cones_new = tuple(
-            _Cone(*(v + alpha * dv for v, dv in zip(cn, dcn)))
+            _Cone(*(jnp.maximum(v + alpha * dv, floor)
+                    for v, dv in zip(cn, dcn)))
             for cn, dcn in zip(cones, dcones)
         )
 

@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ad_mpc_tpu.ocp.solver import SQPSolver, SolverState
 from ad_mpc_tpu.ocp.spec import OCPSpec
 from ad_mpc_tpu.ops.integrators import rollout
+from ad_mpc_tpu.parallel.mesh import batch_sharding
 
 
 class BatchedSolver:
@@ -58,7 +59,10 @@ class BatchedSolver:
             return res.us, res.xs, next_states, res.kkt_residual
 
         if mesh is not None:
-            bsh = NamedSharding(mesh, P("batch"))
+            # 1-D (batch) or 2-D (host x chip) mesh: the scenario batch
+            # shards over every mesh axis, so each solve stays on one chip
+            # and no per-solve collective crosses DCN.
+            bsh = batch_sharding(mesh)
             state_sh = SolverState(xs=bsh, us=bsh)
             step = jax.jit(
                 step,
@@ -89,7 +93,7 @@ class BatchedSolver:
         xs = jax.vmap(one)(jnp.asarray(x0s, self.dtype), us, params)
         states = SolverState(xs=xs, us=us)
         if self.mesh is not None:
-            bsh = NamedSharding(self.mesh, P("batch"))
+            bsh = batch_sharding(self.mesh)
             states = SolverState(
                 xs=jax.device_put(states.xs, bsh),
                 us=jax.device_put(states.us, bsh),

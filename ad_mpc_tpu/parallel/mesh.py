@@ -25,8 +25,34 @@ def make_mesh(n_devices: int | None = None, axis_name: str = BATCH_AXIS) -> Mesh
     return Mesh(np.array(devs), (axis_name,))
 
 
+HOST_AXIS = "host"
+
+
+def make_mesh_2d(
+    n_hosts: int,
+    chips_per_host: int | None = None,
+    host_axis: str = HOST_AXIS,
+    chip_axis: str = BATCH_AXIS,
+) -> Mesh:
+    """2-D (host x chip) mesh: the DCN axis outermost so cross-host
+    collectives ride DCN while intra-host reductions stay on ICI — the
+    topology BASELINE's ">=2 hosts" scaling row measures. With the scenario
+    batch sharded over BOTH axes, each solve stays on one chip and no
+    per-solve collective ever crosses DCN (batch DP is embarrassingly
+    parallel; only diagnostics reductions cross hosts)."""
+    devs = jax.devices()
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    devs = devs[: n_hosts * chips_per_host]
+    arr = np.array(devs).reshape(n_hosts, chips_per_host)
+    return Mesh(arr, (host_axis, chip_axis))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dim, replicate the rest."""
+    """Shard the leading (batch) dim, replicate the rest. On a 2-D mesh the
+    batch dim shards over both axes (host-major)."""
+    if len(mesh.axis_names) == 2:
+        return NamedSharding(mesh, P(mesh.axis_names))
     return NamedSharding(mesh, P(axis_name))
 
 

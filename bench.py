@@ -3,17 +3,34 @@
 Prints ONE JSON line:
   {"metric": "mpc_solves_per_s", "value": N, "unit": "solves/s",
    "vs_baseline": r}
+and writes per-config detail to BENCH_DETAIL.json.
 
-Workload (BASELINE.json config 2): dynamic bicycle with linear tire, N=30
-horizon, a fleet of scenarios each tracking a constant-curvature arc at its
-own speed. Every tick is the *full closed-loop unit of work*: build the
-reference window on-device, run one SQP-RTI solve per scenario
-(linearization sweep + fixed-iteration interior-point QP with Riccati
-factorizations), advance the plant by the applied control, shift the warm
-start — i.e., exactly what a deployed controller executes per control
-period (SURVEY.md §3.1). vs_baseline normalizes against the
-reference-derived per-chip target: BASELINE.json asks >=10k solves/s on a
-v5p-16 (8 chips) => 1250 solves/s/chip.
+Configs (BASELINE.json):
+  2. dynamic bicycle, linear tire, N=30 — the DYNAMIC branch is driven
+     explicitly (switch=1), not via the blend speeds (the reference's
+     blend_min=100 m/s would silently select the kinematic branch at road
+     speeds, ``ad_3d.py:62-64``); batch 256 (BASELINE) and 1024 (headline).
+  3. GP-augmented dynamic bicycle: GP residual on the lateral dynamics
+     (v_y_dot, psi_ddot), batched GP inference fused into the rollout, N=30.
+  4. Pacejka magic formula + road topography: 4096-scenario friction /
+     pitch / roll sweep, one compiled program (per-scenario p vector).
+  1 is the CPU offline loop (``experiments/ad_closed_loop.py``); 5 (multi-
+     host) is covered by ``dryrun_multichip`` + ``parallel/multihost.py``.
+
+Every tick is the full closed-loop unit of work: build the reference window
+on-device, one SQP-RTI solve per scenario, advance the plant by the applied
+control, shift the warm start (SURVEY.md §3.1).
+
+Quality gates (VERDICT round-1): the bench FAILS (exit 1) when solution
+quality regresses —
+  - RTI-vs-converged: u0 of the deployed 1-iteration RTI tick must agree
+    with a fully converged SQP solve from the same warm start;
+  - closed-loop tracking: mean lateral distance of the fleet to its
+    reference must stay small;
+  - KKT dynamics-defect of the returned iterate must stay small.
+
+vs_baseline normalizes against the reference-derived per-chip target:
+BASELINE.json asks >=10k solves/s on a v5p-16 (8 chips) => 1250/chip.
 """
 
 from __future__ import annotations
@@ -27,10 +44,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ad_mpc_tpu.control.mpc import bicycle_spec
-from ad_mpc_tpu.models.bicycle import BicycleParams, bicycle_dynamics, blend_switch
-from ad_mpc_tpu.ocp.solver import SQPSolver, SolverState
+from ad_mpc_tpu.models.bicycle import BicycleParams, bicycle_dynamics
+from ad_mpc_tpu.ocp.solver import BatchedSQPSolver, SolverState
 
 PER_CHIP_TARGET = 10_000 / 8  # BASELINE: 10k solves/s on v5p-16 (8 chips)
+
+# QP backend for the fleet: 'xla' (vmapped IPM) or 'pallas' (fused kernel).
+# Overridable with --backend; the default is flipped to pallas once the
+# on-TPU kernel numerics match the XLA path on this hardware.
+BENCH_BACKEND = "xla"
 
 
 def make_scenarios(batch, seed=0):
@@ -43,7 +65,7 @@ def make_scenarios(batch, seed=0):
     return jnp.asarray(v), jnp.asarray(kappa.astype(np.float32))
 
 
-def arc_reference(v, kappa, s0, N, dt, params: BicycleParams):
+def arc_reference(v, kappa, s0, N, dt, wheelbase):
     """(N+1, 7) state reference along a constant-curvature arc starting at
     arc length s0 from the origin. Closed form, jit-friendly."""
     s = s0 + v * jnp.arange(N + 1, dtype=jnp.float32) * dt
@@ -51,10 +73,9 @@ def arc_reference(v, kappa, s0, N, dt, params: BicycleParams):
     psi = k * s
     x = jnp.sin(psi) / k
     y = (1.0 - jnp.cos(psi)) / k
-    # Straight-line limit.
     x = jnp.where(jnp.abs(kappa) < 1e-6, s, x)
     y = jnp.where(jnp.abs(kappa) < 1e-6, jnp.zeros_like(s), y)
-    delta = jnp.arctan(kappa * (params.l_f + params.l_r))
+    delta = jnp.arctan(kappa * wheelbase)
     ref = jnp.stack(
         [
             x,
@@ -70,56 +91,81 @@ def arc_reference(v, kappa, s0, N, dt, params: BicycleParams):
     return ref
 
 
-def build_fleet(n_nodes=30, qp_iters=12, batch=1024, mesh=None):
-    """Returns (tick, init) where tick(carry) -> (carry, kkt) runs one full
-    closed-loop control period for the whole fleet inside one XLA program."""
+def _project_arc(x0, s0, kappa):
+    """Arc length of the point on the arc closest to the vehicle, unwrapped
+    near the previous anchor s0 (closed-form closest-waypoint search,
+    ``ref_traj.py:103-116``)."""
+    px, py = x0[0], x0[1]
+    k = kappa
+    ang = jnp.arctan2(k * px, 1.0 - k * py)
+    ks0 = k * s0
+    ang = ks0 + jnp.arctan2(jnp.sin(ang - ks0), jnp.cos(ang - ks0))
+    s_arc = ang / jnp.where(jnp.abs(k) < 1e-6, 1e-6, k)
+    return jnp.where(jnp.abs(k) < 1e-6, px, s_arc)
+
+
+def build_fleet(
+    dynamics,
+    p_of_scenario,
+    n_nodes=30,
+    qp_iters=12,
+    sqp_iters=1,
+    wheelbase=2.7,
+    backend=None,
+):
+    """Generic closed-loop fleet factory over :class:`BatchedSQPSolver`:
+    reference windows built vmapped in XLA, the QP solved by the fused
+    Pallas interior-point kernel on TPU (XLA IPM elsewhere).
+
+    dynamics(x, u, p): continuous model with per-scenario parameter vector;
+    p_of_scenario(v, kappa, extra): builds the per-scenario p.
+    Returns (tick, init, solver, spec): tick(carry) -> (carry, (kkt, lat)).
+    """
     spec = bicycle_spec(
-        t_horizon=n_nodes * 0.05, n_nodes=n_nodes, qp_iters=qp_iters
+        t_horizon=n_nodes * 0.05, n_nodes=n_nodes,
+        qp_iters=qp_iters, sqp_iters=sqp_iters,
     )
-    p = BicycleParams()
-    solver = SQPSolver(
-        spec,
-        lambda x, u, pp: bicycle_dynamics(x, u, p, switch=pp[0]),
-        p_dim=1,
-        dtype=jnp.float32,
-    )
+    if backend is None:
+        backend = BENCH_BACKEND
+    p_dim = int(np.asarray(p_of_scenario(5.0, 0.0, np.zeros(8))).shape[0])
+    solver = BatchedSQPSolver(spec, dynamics, p_dim=p_dim, backend=backend)
     N, dt = spec.n_nodes, spec.dt
 
-    def project_arc(x0, s0, kappa):
-        """Arc length of the point on the arc closest to the vehicle,
-        unwrapped near the previous anchor s0 — the closed-form analogue of
-        the reference's closest-waypoint search (``ref_traj.py:103-116``)."""
-        px, py = x0[0], x0[1]
-        k = kappa
-        # On-arc: (k*x, 1 - k*y) = (sin(ks), cos(ks)).
-        ang = jnp.arctan2(k * px, 1.0 - k * py)
-        ks0 = k * s0
-        ang = ks0 + jnp.arctan2(jnp.sin(ang - ks0), jnp.cos(ang - ks0))
-        s_arc = ang / jnp.where(jnp.abs(k) < 1e-6, 1e-6, k)
-        return jnp.where(jnp.abs(k) < 1e-6, px, s_arc)
-
-    def one_tick(x0, s0, v, kappa, state):
-        s0 = project_arc(x0, s0, kappa)
-        yref_x = arc_reference(v, kappa, s0, N, dt, p)
-        yref_u = jnp.zeros((N, 2), jnp.float32)
-        sw = blend_switch(x0[3], p)
-        res = solver.solve(x0, yref_x, yref_u, jnp.array([sw]), state)
-        # Plant advance by the applied control (same discretization).
-        x_next = solver._F(x0, res.us[0], jnp.array([sw]))
-        state_next = solver.shift(res.state)
-        return x_next, s0, state_next, res.kkt_residual
-
-    tick_v = jax.vmap(one_tick)
+    proj_v = jax.vmap(_project_arc)
+    ref_v = jax.vmap(
+        lambda v, k, s0: arc_reference(v, k, s0, N, dt, wheelbase)
+    )
+    F_v = jax.vmap(solver._F)
 
     def tick(carry):
-        x0, s0, v, kappa, states = carry
-        x0, s0, states, kkt = tick_v(x0, s0, v, kappa, states)
-        return (x0, s0, v, kappa, states), kkt
+        x0, s0, v, kappa, p, states = carry
+        s0 = proj_v(x0, s0, kappa)
+        yref_x = ref_v(v, kappa, s0)
+        yref_u = jnp.zeros((x0.shape[0], N, 2), jnp.float32)
+        res = solver.solve(x0, yref_x, yref_u, p, states)
+        x_next = F_v(x0, res.us[:, 0], p)
+        states = solver.shift(res.state)
+        # Mean lateral tracking error of the fleet (quality gate signal).
+        lat = jnp.sqrt(
+            (x_next[:, 0] - yref_x[:, 1, 0]) ** 2
+            + (x_next[:, 1] - yref_x[:, 1, 1]) ** 2
+        )
+        return (x_next, s0, v, kappa, p, states), (
+            res.kkt_residual, jnp.mean(lat)
+        )
 
     tick = jax.jit(tick, donate_argnums=(0,))
 
-    def init(seed=0):
+    def init(batch, seed=0, extra_seed=1):
         v, kappa = make_scenarios(batch, seed)
+        rng = np.random.default_rng(extra_seed)
+        extras = rng.uniform(0.0, 1.0, (batch, 8)).astype(np.float32)
+        p = jnp.asarray(
+            np.stack(
+                [np.asarray(p_of_scenario(float(vv), float(kk), ee))
+                 for vv, kk, ee in zip(np.asarray(v), np.asarray(kappa), extras)]
+            ).astype(np.float32)
+        )
         x0 = jnp.zeros((batch, 7), jnp.float32)
         x0 = x0.at[:, 3].set(v)
         s0 = jnp.zeros((batch,), jnp.float32)
@@ -131,41 +177,151 @@ def build_fleet(n_nodes=30, qp_iters=12, batch=1024, mesh=None):
             )
 
         states = jax.vmap(one_state)(x0)
-        return (x0, s0, v, kappa, states)
+        return (x0, s0, v, kappa, p, states)
 
-    return tick, init, spec
+    return tick, init, solver, spec
 
 
-def bench_batch(batch=1024, n_nodes=30, qp_iters=12, ticks=20, warmup=5):
-    tick, init, _ = build_fleet(n_nodes, qp_iters, batch)
-    carry = init()
+# ------------------------------------------------------------- model configs
+
+_BP = BicycleParams()
+
+
+def dynamic_bicycle(x, u, p):
+    """Linear-tire dynamic bicycle: the tire branch is driven explicitly by
+    p[0]=1 (BASELINE config 2 really exercises Cf/Cr)."""
+    return bicycle_dynamics(x, u, _BP, switch=p[0])
+
+
+def make_gp_bicycle():
+    """GP-augmented dynamic bicycle (BASELINE config 3): a synthetic-but-real
+    GP ensemble (32 points, 4 features, 2 output dims on v_y_dot/psi_ddot)
+    whose batched kernel inference fuses into the RK4 rollout."""
+    from ad_mpc_tpu.learned.ensemble import GPEnsemble, state_residual_fn
+    from ad_mpc_tpu.learned.gp import GPParams
+
+    rng = np.random.default_rng(11)
+    n, d = 32, 4
+    gps = [[], []]
+    for dim in range(2):
+        X = rng.uniform(
+            [-0.0, -1.0, -0.5, -0.5], [15.0, 1.0, 0.5, 0.5], (n, d)
+        )
+        y = 0.05 * np.sin(X[:, 1] * 3.0) + 0.02 * X[:, 2] * (dim + 1)
+        ls = np.array([5.0, 0.5, 0.3, 0.3])
+        sf, sn = 0.01, 0.05
+        diff = (X[:, None, :] - X[None, :, :]) / ls
+        K = sf * np.exp(-0.5 * np.sum(diff * diff, axis=-1))
+        K += (sn**2 + 1e-6) * np.eye(n)
+        gps[dim].append(
+            GPParams(
+                x_train=X,
+                k_inv_y=np.linalg.solve(K, y - y.mean()),
+                len_scale=ls,
+                sigma_f=sf,
+                sigma_n=sn,
+                y_mean=float(y.mean()),
+                centroid=X.mean(axis=0),
+            )
+        )
+    ens = GPEnsemble.from_gps(gps, out_idx=(4, 5), feat_idx=(3, 4, 5, 6))
+    resid = state_residual_fn(ens)
+
+    def gp_bicycle(x, u, p):
+        return bicycle_dynamics(x, u, _BP, switch=p[0]) + resid(x, u)
+
+    return gp_bicycle
+
+
+def make_pacejka():
+    """Pacejka + road topography (BASELINE config 4): p = [mu, pitch, roll]
+    drawn per scenario — a friction/stiffness/topography sweep in ONE
+    compiled program."""
+    from ad_mpc_tpu.models.pacejka import PacejkaParams, pacejka_dynamics_p
+
+    pp = PacejkaParams()
+
+    def dyn(x, u, p):
+        return pacejka_dynamics_p(x, u, p, pp)
+
+    def p_of(v, kappa, extra):
+        mu = 0.6 + 0.5 * extra[0]  # friction in [0.6, 1.1]
+        pitch = (extra[1] - 0.5) * 0.12  # +-3.4 deg
+        roll = (extra[2] - 0.5) * 0.10
+        return np.array([mu, pitch, roll], np.float32)
+
+    return dyn, p_of
+
+
+# ----------------------------------------------------------------- measuring
+
+def run_config(tick, init, batch, ticks=20, warmup=5, seed=0):
+    carry = init(batch, seed)
     for _ in range(warmup):
-        carry, kkt = tick(carry)
+        carry, (kkt, lat) = tick(carry)
     jax.block_until_ready(kkt)
-
     tic = time.perf_counter()
     for _ in range(ticks):
-        carry, kkt = tick(carry)
+        carry, (kkt, lat) = tick(carry)
     jax.block_until_ready(kkt)
     dt = time.perf_counter() - tic
-    return batch * ticks / dt, float(jnp.mean(kkt)), float(jnp.max(kkt))
+    return {
+        "solves_per_s": batch * ticks / dt,
+        "kkt_mean": float(jnp.mean(kkt)),
+        "kkt_max": float(jnp.max(kkt)),
+        "lat_err_mean_m": float(lat),
+        "batch": batch,
+    }, carry
 
 
-def bench_latency(n_nodes=30, qp_iters=12, reps=50):
+def rti_vs_converged(dynamics, p_of, carry, n_check=64, n_nodes=30):
+    """Quality gate: u0 of the deployed RTI tick vs a fully converged SQP
+    solve from the same state/warm start (explains the KKT defect: RTI
+    linearization residue, not divergence)."""
+    x0, s0, v, kappa, p, states = carry
+    m = min(n_check, x0.shape[0])
+    x0m, s0m, vm, km, pm = x0[:m], s0[:m], v[:m], kappa[:m], p[:m]
+    st_m = jax.tree.map(lambda t: t[:m], states)
+
+    _, _, solver1, spec = build_fleet(dynamics, p_of, n_nodes=n_nodes,
+                                      qp_iters=12, sqp_iters=1)
+    _, _, solver8, _ = build_fleet(dynamics, p_of, n_nodes=n_nodes,
+                                   qp_iters=20, sqp_iters=6)
+    N, dt = spec.n_nodes, spec.dt
+
+    s0p = jax.vmap(_project_arc)(x0m, s0m, km)
+    yref_x = jax.vmap(lambda v, k, s0: arc_reference(v, k, s0, N, dt, 2.7))(
+        vm, km, s0p
+    )
+    yref_u = jnp.zeros((m, N, 2), jnp.float32)
+    u_rti = solver1.solve(x0m, yref_x, yref_u, pm, st_m).us[:, 0]
+    u_cvg = solver8.solve(x0m, yref_x, yref_u, pm, st_m).us[:, 0]
+    return float(jnp.max(jnp.abs(u_rti - u_cvg)))
+
+
+def bench_latency(dynamics, p_of, n_nodes=30, qp_iters=12, reps=50):
     """Single-solve closed-loop latency (batch=1) vs the 20 ms budget."""
-    tick, init, _ = build_fleet(n_nodes, qp_iters, batch=1)
-    carry = init()
+    tick, init, _, _ = build_fleet(dynamics, p_of, n_nodes, qp_iters)
+    carry = init(1)
     for _ in range(5):
-        carry, kkt = tick(carry)
+        carry, (kkt, _) = tick(carry)
     jax.block_until_ready(kkt)
     ts = []
     for _ in range(reps):
         tic = time.perf_counter()
-        carry, kkt = tick(carry)
+        carry, (kkt, _) = tick(carry)
         jax.block_until_ready(kkt)
         ts.append(time.perf_counter() - tic)
     ts = 1e3 * np.asarray(ts)
     return float(np.percentile(ts, 50)), float(np.percentile(ts, 99))
+
+
+GATES = {
+    "kkt_mean": 2e-2,
+    "kkt_max": 2e-1,
+    "lat_err_mean_m": 0.5,
+    "rti_vs_converged_u0": 0.5,  # m/s^2 / rad/s scale; catches divergence
+}
 
 
 def main():
@@ -177,22 +333,70 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+    log = lambda s: print(s, file=sys.stderr)
+    log(f"# device: {dev.platform} {dev.device_kind}")
 
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1024
-    solves_per_s, kkt_mean, kkt_max = bench_batch(batch=batch)
-    print(
-        f"# batch={batch} N=30 kkt_defect mean={kkt_mean:.2e} max={kkt_max:.2e}",
-        file=sys.stderr,
-    )
+    detail = {"device": f"{dev.platform} {dev.device_kind}", "configs": {}}
+    switch_on = lambda v, k, e: np.array([1.0], np.float32)
 
+    # ---- config 2: dynamic bicycle (headline metric at batch 1024)
+    tick, init, _, _ = build_fleet(dynamic_bicycle, switch_on)
+    r256, _ = run_config(tick, init, 256)
+    r1024, carry = run_config(tick, init, 1024)
+    detail["configs"]["c2_dynamic_bicycle_b256"] = r256
+    detail["configs"]["c2_dynamic_bicycle_b1024"] = r1024
+    log(f"# c2 dynamic-tire N=30: b256 {r256['solves_per_s']:.0f}/s "
+        f"b1024 {r1024['solves_per_s']:.0f}/s kkt mean={r1024['kkt_mean']:.2e} "
+        f"max={r1024['kkt_max']:.2e} lat_err={r1024['lat_err_mean_m']:.3f} m")
+
+    # RTI-vs-converged quality gate on the live fleet state.
+    d_u0 = rti_vs_converged(dynamic_bicycle, switch_on, carry)
+    detail["rti_vs_converged_u0"] = d_u0
+    log(f"# quality: max|u0_RTI - u0_converged| = {d_u0:.3e}")
+
+    # ---- config 3: GP-augmented bicycle
+    gp_dyn = make_gp_bicycle()
+    tick_g, init_g, _, _ = build_fleet(gp_dyn, switch_on)
+    r_gp, _ = run_config(tick_g, init_g, 256)
+    detail["configs"]["c3_gp_bicycle_b256"] = r_gp
+    log(f"# c3 GP-augmented N=30: b256 {r_gp['solves_per_s']:.0f}/s "
+        f"kkt mean={r_gp['kkt_mean']:.2e} lat_err={r_gp['lat_err_mean_m']:.3f} m")
+
+    # ---- config 4: Pacejka friction/topography sweep, batch 4096
+    pac_dyn, pac_p = make_pacejka()
+    tick_p, init_p, _, _ = build_fleet(pac_dyn, pac_p)
+    r_pac, _ = run_config(tick_p, init_p, 4096, ticks=10)
+    detail["configs"]["c4_pacejka_b4096"] = r_pac
+    log(f"# c4 Pacejka sweep N=30: b4096 {r_pac['solves_per_s']:.0f}/s "
+        f"kkt mean={r_pac['kkt_mean']:.2e} lat_err={r_pac['lat_err_mean_m']:.3f} m")
+
+    # ---- single-solve latency vs the 20 ms budget
     try:
-        p50, p99 = bench_latency()
-        print(f"# single-solve latency p50={p50:.2f}ms p99={p99:.2f}ms "
-              f"(budget 20ms)", file=sys.stderr)
+        p50, p99 = bench_latency(dynamic_bicycle, switch_on)
+        detail["latency_ms"] = {"p50": p50, "p99": p99, "budget": 20.0}
+        log(f"# single-solve latency p50={p50:.2f}ms p99={p99:.2f}ms "
+            f"(budget 20ms)")
     except Exception as e:  # latency bench is informative only
-        print(f"# latency bench failed: {e}", file=sys.stderr)
+        log(f"# latency bench failed: {e}")
 
+    # ---- quality gates
+    failures = []
+    for cfg_name, r in detail["configs"].items():
+        for key in ("kkt_mean", "kkt_max", "lat_err_mean_m"):
+            if r[key] > GATES[key]:
+                failures.append(f"{cfg_name}.{key}={r[key]:.3e}>{GATES[key]}")
+    if d_u0 > GATES["rti_vs_converged_u0"]:
+        failures.append(f"rti_vs_converged_u0={d_u0:.3e}")
+    detail["quality_gates"] = {"pass": not failures, "failures": failures,
+                               "gates": GATES}
+    if failures:
+        log("# QUALITY GATE FAILURES: " + "; ".join(failures))
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    solves_per_s = r1024["solves_per_s"]
     print(
         json.dumps(
             {
@@ -203,6 +407,8 @@ def main():
             }
         )
     )
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -179,3 +179,165 @@ def test_gp_pipeline_reduces_residual():
     metrics = evaluate_ensemble(ens, test)
     assert metrics["rmse_gp"] < metrics["rmse_nominal"], metrics
     assert metrics["reduction"] > 0.3, metrics
+
+
+class TestDualStateGP:
+    """Reference capability: GP evaluated on a second (EKF) state at node 0
+    only (trigger), cluster pinned per solve from the horizon midpoint
+    (quad_3d.py:112-132, quad_3d_optimizer.py:289-327, 489-493)."""
+
+    def _mpc(self):
+        import jax.numpy as jnp
+
+        from ad_mpc_tpu.control.mpc import QuadMPC, quad_spec
+        from ad_mpc_tpu.ocp.solver import SolverState
+
+        gps = [[]]
+        for center in (-2.0, 2.0):
+            X = center + rng.uniform(-1.2, 1.2, (20, 1))
+            # Feature-dependent residual so the posterior mean actually
+            # varies with z (a constant target would be absorbed into
+            # y_mean and hide the trigger mechanism).
+            y = 0.3 * np.sign(center) + 0.2 * np.sin(X[:, 0])
+            gps[0].append(fit_gp(X, y, n_restarts=2))
+        ens = GPEnsemble.from_gps(gps, out_idx=(7,), feat_idx=(7,))
+        spec = quad_spec(n_nodes=6, t_horizon=0.6, qp_iters=8)
+        return QuadMPC(ensemble=ens, spec=spec), ens
+
+    def _hover(self):
+        x = np.zeros(13)
+        x[3] = 1.0
+        return x
+
+    def test_gp_state_changes_node0_only(self):
+        mpc, _ = self._mpc()
+        x0 = self._hover()
+        ref = np.zeros((7, 13))
+        ref[:, 3] = 1.0
+        ref[:, 2] = 1.0
+        mpc.set_reference(ref)
+
+        us_a, _ = mpc.optimize(x0, gp_x0=x0)
+        mpc.reset()
+        us_b, _ = mpc.optimize(x0)  # gp_x0 defaults to x0
+        np.testing.assert_allclose(
+            np.asarray(us_a), np.asarray(us_b), atol=1e-7
+        )
+
+        mpc.reset()
+        gp_x = x0.copy()
+        gp_x[7] = 2.0  # EKF estimate in the +2 cluster's feature region
+        us_c, _ = mpc.optimize(x0, gp_x0=gp_x)
+        assert float(np.max(np.abs(np.asarray(us_c) - np.asarray(us_a)))) > 1e-5
+
+    def test_midpoint_cluster_selection(self):
+        import jax.numpy as jnp
+
+        from ad_mpc_tpu.ocp.solver import SolverState
+
+        mpc, ens = self._mpc()
+        x0 = self._hover()
+        ref = np.zeros((7, 13))
+        ref[:, 3] = 1.0
+        mpc.set_reference(ref)
+        N = mpc.spec.n_nodes
+
+        # Warm start whose horizon-midpoint body velocity sits at +2.
+        xs = np.tile(x0, (N + 1, 1))
+        xs[:, 7] = 2.0
+        mpc.state = SolverState(
+            xs=jnp.asarray(xs), us=jnp.zeros((N, 4))
+        )
+        mpc.optimize(x0)
+        # Clusters are centroid-sorted: index 1 = centroid +2.
+        assert int(mpc.last_cluster[0]) == 1
+
+        xs[:, 7] = -2.0
+        mpc.state = SolverState(
+            xs=jnp.asarray(xs), us=jnp.zeros((N, 4))
+        )
+        mpc.optimize(x0)
+        assert int(mpc.last_cluster[0]) == 0
+
+
+class TestFidelityGaps:
+    """Reference pipeline options: soft top-2 GMM agency, per-dim histogram
+    pruning, PCA-cuboid/histogram-median selection, gmm cache, homogeneity
+    detection (gp_common.py:224-271, utils.py:458-743, gp.py:772-788)."""
+
+    def _clustered(self, n=300, sep=2.0, width=0.4):
+        r = np.random.default_rng(3)
+        x_in = np.zeros((n, 13))
+        x_in[:, 7] = np.concatenate(
+            [r.normal(-sep, width, n // 2), r.normal(sep, width, n - n // 2)]
+        )
+        y = np.zeros((n, 13))
+        y[:, 7] = np.sign(x_in[:, 7]) * 0.1 + 0.01 * r.normal(size=n)
+        return ResidualDataset(x_in=x_in, u=np.zeros((n, 4)), y=y)
+
+    def test_top2_soft_agency_overlaps(self):
+        # Overlapping clusters so boundary samples carry real second-best
+        # membership probability.
+        ds = self._clustered(sep=0.8, width=0.5)
+        ds.cluster(2, feat_idx=(7,))
+        agency = ds.cluster_agency(feat_idx=(7,), top2_thresh=0.05)
+        total = sum(len(v) for v in agency.values())
+        # Soft assignment duplicates boundary samples into both clusters.
+        assert total > len(ds.x_in)
+        hard = ds.cluster_labels
+        for c, idx in agency.items():
+            assert set(np.flatnonzero(hard == c)).issubset(set(idx))
+
+    def test_gmm_cache_round_trip(self, tmp_path):
+        ds = self._clustered()
+        cache = str(tmp_path / "gmm.pkl")
+        l1 = ds.cluster(2, feat_idx=(7,), cache_path=cache).copy()
+        import os
+        assert os.path.exists(cache)
+        ds2 = self._clustered()
+        l2 = ds2.cluster(2, feat_idx=(7,), cache_path=cache, seed=99)
+        # Loaded GMM (not refit with seed 99) -> identical labels.
+        np.testing.assert_array_equal(l1, l2)
+
+    def test_per_dim_histogram_pruning(self):
+        r = np.random.default_rng(0)
+        n = 500
+        x_in = np.zeros((n, 13))
+        y = np.zeros((n, 13))
+        y[:, 7] = r.normal(0, 0.05, n)
+        y[:5, 8] = 50.0  # outliers ONLY in dim 8: norm-only pruning could
+        y[:5, 7] = 0.0   # miss per-dim structure; per-dim must drop them
+        ds = ResidualDataset(x_in=x_in, u=np.zeros((n, 4)), y=y)
+        pruned = ds.prune(vel_cap=100.0, hist_bins=10, hist_thresh=0.02)
+        assert np.max(np.abs(pruned.y[:, 8])) < 1.0
+        assert len(pruned.x_in) >= n - 30
+
+    def test_selection_methods(self):
+        from ad_mpc_tpu.learned.dataset import select_training_points
+
+        r = np.random.default_rng(1)
+        z1 = r.normal(0, 1, (200, 1))
+        idx = select_training_points(z1, z1[:, 0], 10,
+                                     method="histogram_median")
+        assert 1 <= len(idx) <= 10 and len(np.unique(idx)) == len(idx)
+        # Median-of-bin points span the feature range.
+        assert z1[idx, 0].max() - z1[idx, 0].min() > 2.0
+
+        z3 = r.normal(0, 1, (300, 4))
+        idx3 = select_training_points(z3, z3[:, 0], 12, method="pca_cuboid")
+        assert len(idx3) <= 12 and len(np.unique(idx3)) == len(idx3)
+        # Cuboid corners stretch coverage: selected extent close to full.
+        ext_sel = z3[idx3].max(0) - z3[idx3].min(0)
+        ext_all = z3.max(0) - z3.min(0)
+        assert np.all(ext_sel > 0.5 * ext_all)
+
+    def test_homogeneity_detection(self):
+        from ad_mpc_tpu.learned.ensemble import homogeneous_feature_space
+
+        X = rng.uniform(-1, 1, (20, 1))
+        g = fit_gp(X, np.sin(X[:, 0]), n_restarts=2)
+        ens = GPEnsemble.from_gps([[g], [g]], out_idx=(7, 8), feat_idx=(7,))
+        assert homogeneous_feature_space(ens)
+        g2 = fit_gp(X + 5.0, np.cos(X[:, 0]), n_restarts=2)
+        ens2 = GPEnsemble.from_gps([[g], [g2]], out_idx=(7, 8), feat_idx=(7,))
+        assert not homogeneous_feature_space(ens2)
