@@ -71,10 +71,21 @@ class BicycleMPC:
         self,
         params: BicycleParams = BicycleParams(),
         spec: Optional[OCPSpec] = None,
+        point_reference: bool = False,
         dtype=jnp.float32,
     ):
+        """``point_reference=True`` selects the full-SQP solver mode the
+        reference uses for single-point targets (``create_ros_ad_mpc.py:88``
+        switches solver_type SQP vs SQP_RTI): multiple globalized
+        Gauss-Newton iterations per solve instead of one RTI step."""
+        import dataclasses
+
         self.params = params
         self.spec = spec if spec is not None else bicycle_spec(params=params)
+        if point_reference and self.spec.sqp_iters == 1:
+            self.spec = dataclasses.replace(
+                self.spec, sqp_iters=10, ls_steps=6
+            )
         self.solver = SQPSolver(
             self.spec,
             lambda x, u, p: bicycle_dynamics(x, u, params, switch=p[0]),

@@ -100,11 +100,17 @@ def get_waypoints(
     s0 = path.cdist[ci]
     e_psi0 = wrap_to_pi(psi_init - psi_w)
 
-    # (3) Velocity-based arc-length interpolation. The reference's
-    # ``/local_traj`` starts at the vehicle, so query offsets start from the
-    # path's own velocity profile at s≈0 (ref_traj.py:126-132).
-    vel_ref = path.vel[:traj_horizon]
-    s_query = jnp.cumsum(traj_dt * vel_ref)
+    # (3) Velocity-based arc-length interpolation ANCHORED AT s0
+    # (ref_traj.py:126-132): the query marches forward from the vehicle's
+    # own arc position using the velocity profile AT each queried position,
+    # so the function is also correct standalone against a long global path
+    # (not only when the caller re-windows the track every tick).
+    def advance(s, _):
+        v = jnp.interp(s, path.cdist, path.vel)
+        s_next = s + traj_dt * v
+        return s_next, s_next
+
+    _, s_query = jax.lax.scan(advance, s0, None, length=traj_horizon)
 
     x_ref = jnp.interp(s_query, path.cdist, path.x)
     y_ref = jnp.interp(s_query, path.cdist, path.y)

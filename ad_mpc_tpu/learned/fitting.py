@@ -112,3 +112,81 @@ def evaluate_ensemble(
         "rmse_gp": rmse_gp,
         "reduction": 1.0 - rmse_gp / max(rmse_nominal, 1e-12),
     }
+
+
+def main(argv=None):
+    """Fitting CLI — the ``gp_fitting.py`` driver role (``model_fitting/
+    gp_fitting.py:88-127``): load (or record) a residual dataset, prune,
+    cluster, fit the GP ensemble, evaluate held-out RMSE, and save the
+    model keyed by git hash in the model registry."""
+    import argparse
+    import json
+
+    from ad_mpc_tpu.utils import io
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", default=None,
+                    help="dataset directory (utils.io registry); when "
+                         "omitted, records fresh simulator flights")
+    ap.add_argument("--model-name", default="gp_ensemble")
+    ap.add_argument("--n-clusters", type=int, default=1)
+    ap.add_argument("--n-points", type=int, default=30)
+    ap.add_argument("--n-restarts", type=int, default=3)
+    ap.add_argument("--selection", default="kmeans",
+                    choices=["kmeans", "pca_cuboid", "histogram_median",
+                             "random_inverse_density"])
+    ap.add_argument("--x-features", type=int, nargs="+", default=[7, 8, 9])
+    ap.add_argument("--y-dims", type=int, nargs="+", default=[7, 8, 9])
+    ap.add_argument("--vel-cap", type=float, default=20.0)
+    ap.add_argument("--hist-thresh", type=float, default=1e-3)
+    ap.add_argument("--test-frac", type=float, default=0.2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--record-targets", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    if args.dataset is not None:
+        arrays = io.load_arrays(args.dataset)
+    else:
+        from ad_mpc_tpu.experiments.record_dataset import record_flights
+        from ad_mpc_tpu.sim.simulator import DisturbanceConfig
+
+        print(f"# recording {args.record_targets} drag-disturbed flights")
+        arrays = record_flights(
+            n_targets=args.record_targets,
+            disturbances=DisturbanceConfig(drag=True),
+            seed=args.seed,
+        )
+
+    ds = ResidualDataset.from_rollouts(
+        arrays["x_in"], arrays["u"], arrays["x_out"], arrays["x_pred"],
+        arrays["dt"],
+    )
+    ds = ds.prune(vel_cap=args.vel_cap, hist_thresh=args.hist_thresh,
+                  vel_idx=tuple(args.y_dims))
+    train, test = ds.split(test_frac=args.test_frac, seed=args.seed)
+
+    ens = fit_gp_ensemble(
+        train,
+        out_idx=tuple(args.y_dims),
+        feat_idx=tuple(args.x_features),
+        n_clusters=args.n_clusters,
+        n_points=args.n_points,
+        n_restarts=args.n_restarts,
+        selection=args.selection,
+        seed=args.seed,
+        gmm_cache_path=None,
+    )
+    metrics = evaluate_ensemble(ens, test)
+    path = io.save_model(
+        ens, args.model_name,
+        metadata={
+            "n_clusters": args.n_clusters, "n_points": args.n_points,
+            "x_features": args.x_features, "y_dims": args.y_dims,
+            "selection": args.selection, **metrics,
+        },
+    )
+    print(json.dumps({"model_path": path, **metrics}))
+
+
+if __name__ == "__main__":
+    main()
