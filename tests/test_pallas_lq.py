@@ -68,7 +68,10 @@ def _bounds_hard_unit(nx, nu):
 
 
 def _reference_solve(args, Q, R, QN, ub, xb, iters):
-    """Vmapped XLA path on the same f32 data."""
+    """Vmapped XLA path on the same f32 data. NOTE: must run under
+    'highest' matmul precision — on TPU the f32 matmul default uses bf16
+    passes, which destroys the IPM's Riccati algebra (the production
+    solver sets this via OCPSpec.matmul_precision)."""
     A, Bm, c, q, r, u_ref, x_ref = [jnp.asarray(v, jnp.float32) for v in args]
     N = A.shape[1]
     Qs = jnp.concatenate(
@@ -96,7 +99,8 @@ def _reference_solve(args, Q, R, QN, ub, xb, iters):
         )
         return dx, du, stats["alpha"][-1]
 
-    return jax.vmap(one)(A, Bm, c, q, r, u_ref, x_ref)
+    with jax.default_matmul_precision("highest"):
+        return jax.jit(jax.vmap(one))(A, Bm, c, q, r, u_ref, x_ref)
 
 
 @pytest.mark.parametrize("bounds_kind", ["bicycle", "unit"])
