@@ -38,6 +38,18 @@ from ad_mpc_tpu.ops.qp_ipm import BoundSpec, solve_lq_ocp
 from ad_mpc_tpu.utils.math import yaw_wrap_reference
 
 
+def _lqr_fn(spec: OCPSpec):
+    """Riccati backend per spec: sequential scan (default) or the
+    O(log N)-depth associative scan for long horizons."""
+    if spec.assoc_riccati:
+        from ad_mpc_tpu.ops.assoc_riccati import lqr_solve_assoc
+
+        return lqr_solve_assoc
+    from ad_mpc_tpu.ops.riccati import lqr_solve
+
+    return lqr_solve
+
+
 class SolverState(NamedTuple):
     """RTI warm-start iterate: the current primal trajectory guess."""
 
@@ -205,6 +217,7 @@ class SQPSolver:
                     u_ref=us, x_ref=xs,
                     iters=spec.qp_iters,
                     reg=spec.levenberg,
+                    lqr_fn=_lqr_fn(spec),
                 )
                 if spec.ls_steps > 1:
                     # Globalized step: candidate control sequences are
@@ -337,6 +350,7 @@ class BatchedSQPSolver:
                         base._u_bounds, base._x_bounds,
                         u_ref=u_ref, x_ref=x_ref,
                         iters=spec.qp_iters, reg=spec.levenberg,
+                        lqr_fn=_lqr_fn(spec),
                     )
                     return dx, du, stats["alpha"][-1]
 

@@ -58,6 +58,9 @@ class OCPSpec:
     # merit function. 1 = full Gauss-Newton steps (RTI behavior).
     ls_steps: int = 1
     ls_penalty: float = 1e3  # dynamics-defect L1 merit weight
+    # Parallel-prefix (associative-scan) Riccati: O(log N) sequential depth
+    # instead of O(N) — the long-horizon option (SURVEY.md §2.6/§5).
+    assoc_riccati: bool = False
     cost_scaling: str = "acados"  # 'acados' (dt-scaled stages) or 'unit'
     # Matmul precision inside the solver trace. TPU f32 matmuls default to
     # bf16 multiplication passes, which destroys the interior-point Riccati

@@ -211,6 +211,7 @@ def solve_lq_ocp(
     iters: int = 18,
     tau_min: float = 1e-8,
     reg: float = 1e-8,
+    lqr_fn=lqr_solve,
 ):
     """Solve the box-constrained LQ OCP with a fixed-iteration primal-dual IPM.
 
@@ -269,7 +270,7 @@ def solve_lq_ocp(
 
         # Newton step: homogeneous dynamics (iterate is dynamics-feasible).
         zeros_c = jnp.zeros_like(c)
-        ddx, ddu = lqr_solve(
+        ddx, ddu = lqr_fn(
             A, B, zeros_c, Q_mod, q_mod, R_mod, r_mod,
             jnp.zeros_like(dx0), reg=reg,
         )

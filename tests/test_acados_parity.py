@@ -101,7 +101,7 @@ def _assert_parity(solver, spec, x0, yref, yref_u, params, label):
         jnp.asarray(params), st,
     )
     orc = solve_ocp_oracle(spec, _bike_dyn, x0, yref, yref_u,
-                           params=params, xtol=1e-10, gtol=3e-8, maxiter=1500)
+                           params=params, xtol=1e-9, gtol=1e-7, maxiter=700)
     d0 = float(np.max(np.abs(np.asarray(res.us[0]) - orc.us[0])))
     assert d0 < TOL, (
         f"{label}: u0 parity {d0:.2e} > {TOL} "
@@ -153,7 +153,7 @@ class TestBicycleParity:
         # accel rides its (soft) upper bound
         assert float(res.us[0, 0]) > 4.9
         orc = solve_ocp_oracle(spec, _bike_dyn, x0, yref, np.zeros((N, 2)),
-                               params=params, xtol=1e-10, gtol=3e-8)
+                               params=params, xtol=1e-9, gtol=1e-7, maxiter=900)
         d = float(np.max(np.abs(np.asarray(res.us[0]) - orc.us[0])))
         assert d < TOL, d
 
@@ -181,7 +181,7 @@ class TestBicycleParity:
         )
         assert float(np.max(np.asarray(res.xs)[:, 6])) < 0.52 + 1e-6
         orc = solve_ocp_oracle(spec, _bike_dyn, x0, yref, np.zeros((N, 2)),
-                               params=params, xtol=1e-10, gtol=3e-8)
+                               params=params, xtol=1e-9, gtol=1e-7, maxiter=900)
         d = float(np.max(np.abs(np.asarray(res.us[0]) - orc.us[0])))
         assert d < TOL, d
 
@@ -203,7 +203,7 @@ class TestBicycleParity:
             )
             state = res.state  # no shift: the problem is fixed
         orc = solve_ocp_oracle(spec, _bike_dyn, x0, yref, yref_u,
-                               params=params, xtol=1e-10, gtol=3e-8)
+                               params=params, xtol=1e-9, gtol=1e-7, maxiter=900)
         d = float(np.max(np.abs(np.asarray(res.us[0]) - orc.us[0])))
         assert d < TOL, d
 
