@@ -90,6 +90,18 @@ def comparative_sweep(
         np.save(os.path.join(d, "mean_v.npy"), v_max)
         with open(os.path.join(d, "models.txt"), "w") as f:
             f.write("\n".join(names))
+        # Persistent cross-run registry (the reference's metadata.json
+        # accumulation, gp_mpc_node.py:556-599): sweeps stay comparable
+        # across sessions/rounds.
+        from ad_mpc_tpu.utils.live_viz import ExperimentRegistry
+
+        reg = ExperimentRegistry(
+            os.path.join(io.RESULTS_ROOT, "experiments", "metadata.json")
+        )
+        for i, name in enumerate(names):
+            for j, traj in enumerate(traj_types):
+                for k, v in enumerate(speeds):
+                    reg.record(traj, name, v, rmse[i, j, k], t_opt[i, j, k])
     return rmse, t_opt, v_max
 
 
