@@ -77,10 +77,20 @@ def pacejka_bicycle_dynamics(x, u, params: PacejkaParams = PacejkaParams()):
 
 
 def pacejka_dynamics_p(x, u, p, params: PacejkaParams = PacejkaParams()):
-    """Pacejka dynamics with runtime per-solve parameters
-    ``p = [mu, road_pitch, road_roll]`` — the friction/stiffness/topography
-    sweep axis of the BASELINE "Pacejka + road topography" configuration.
-    Batched scenarios vmap over ``p`` without recompilation (the reference
-    would need one ACADOS codegen per parameterization)."""
+    """Pacejka dynamics with runtime per-solve parameters — the
+    friction/STIFFNESS/topography sweep axis of the BASELINE "Pacejka +
+    road topography" configuration. Batched scenarios vmap over ``p``
+    without recompilation (the reference would need one ACADOS codegen per
+    parameterization).
+
+    ``p = [mu, road_pitch, road_roll]`` (3 entries) or
+    ``p = [mu, pitch, roll, b_scale, d_scale]`` (5 entries) with the magic-
+    formula stiffness factor B and peak factor D scaled per scenario
+    (front and rear together) — tire-wear / surface variation draws."""
     params = params._replace(mu=p[0], road_pitch=p[1], road_roll=p[2])
+    if p.shape[0] >= 5:
+        params = params._replace(
+            b_f=params.b_f * p[3], b_r=params.b_r * p[3],
+            d_f=params.d_f * p[4], d_r=params.d_r * p[4],
+        )
     return pacejka_bicycle_dynamics(x, u, params)

@@ -250,7 +250,9 @@ def make_pacejka():
         mu = 0.6 + 0.5 * extra[0]  # friction in [0.6, 1.1]
         pitch = (extra[1] - 0.5) * 0.12  # +-3.4 deg
         roll = (extra[2] - 0.5) * 0.10
-        return np.array([mu, pitch, roll], np.float32)
+        b_scale = 0.8 + 0.4 * extra[3]  # stiffness factor draw
+        d_scale = 0.85 + 0.3 * extra[4]  # peak factor draw
+        return np.array([mu, pitch, roll, b_scale, d_scale], np.float32)
 
     return dyn, p_of
 
