@@ -295,6 +295,7 @@ class BatchedSQPSolver:
         dynamics: Callable,
         p_dim: int = 0,
         backend: str = "auto",
+        vde: str = "auto",
         block_b: int = 128,
         interpret: Optional[bool] = None,
     ):
@@ -310,6 +311,21 @@ class BatchedSQPSolver:
         if backend == "auto":
             backend = "pallas" if on_tpu else "xla"
         self.backend = backend
+
+        # Linearization backend: the fused Pallas rollout+VDE kernel when
+        # the dynamics is lane-polymorphic (ops/pallas_vde.py), else the
+        # vmapped-jacfwd XLA sweep. 'auto' probes the dynamics layout.
+        f3 = dynamics if p_dim > 0 else (lambda x, u, p: dynamics(x, u))
+        if vde == "auto":
+            from ad_mpc_tpu.ops.pallas_vde import lane_compatible
+
+            vde = (
+                "pallas"
+                if (backend == "pallas" and lane_compatible(
+                    f3, spec.nx, spec.nu, p_dim))
+                else "xla"
+            )
+        self.vde = vde
 
         N, dt = spec.n_nodes, spec.dt
         Q, R, QN = spec.weight_arrays()
@@ -358,6 +374,21 @@ class BatchedSQPSolver:
 
             self._qp = qp_xla
 
+        if self.vde == "pallas":
+            from ad_mpc_tpu.ops.pallas_vde import make_vde
+
+            self._lin = make_vde(
+                f3, spec.dt, N, spec.nx, spec.nu, p_dim,
+                rk4_steps=spec.rk4_steps, block_b=block_b,
+                interpret=(not on_tpu) if interpret is None else interpret,
+            )
+        else:
+            self._lin = jax.vmap(
+                lambda xs, us, p: linearize(
+                    lambda x, u: self._F(x, u, p), xs, us
+                )
+            )
+
         Qj = jnp.asarray(Q, dtype)
         QNj = jnp.asarray(QN, dtype)
         Rj = jnp.asarray(R, dtype)
@@ -378,11 +409,7 @@ class BatchedSQPSolver:
                         )
                     )
 
-                lin = jax.vmap(
-                    lambda xs, us, p: linearize(
-                        lambda x, u: self._F(x, u, p), xs, us
-                    )
-                )
+                lin = self._lin
 
                 def sqp_iter(carry, _):
                     xs, us = carry

@@ -1,0 +1,209 @@
+"""Fused Pallas TPU kernel for the batched RK4 rollout + VDE sweep.
+
+TPU-native replacement for the reference's CasADi-generated explicit ODE/VDE
+kernels driven by the ACADOS ERK module
+(``c_generated_code/sim_car_model/sim_car_expl_ode_fun.c``,
+``sim_car_expl_vde_forw.c``): for every shooting interval the kernel
+integrates the dynamics one RK4 interval AND produces the forward
+sensitivities (A_k = dF/dx, B_k = dF/du) plus the multiple-shooting defect
+c_k = F(x_k, u_k) - x_{k+1} — the entire Gauss-Newton linearization sweep of
+the SQP-RTI iteration in ONE kernel launch.
+
+Layout: stage linearizations are mutually independent (they linearize around
+the given iterate, not a rollout), so the horizon folds onto the *sublane*
+axis and the scenario batch rides the 128-wide *lane* axis — every state
+entry is an (N, B) VPU tile and the whole sweep is one program per batch
+block. State/input entries live on the untiled leading axis.
+
+Sensitivities are exact forward-mode derivatives of the discrete RK4 map:
+``jax.linearize`` evaluates the primal RK4 chain once and the resulting
+linear map is applied to the nx+nu basis tangents — exactly the variational
+differential equations ACADOS integrates, evaluated by AD instead of
+codegen, for all N stages of the block simultaneously.
+
+Requirement on the dynamics: ``f(x, u, p)`` must be *lane-polymorphic* —
+written with per-entry indexing (``x[3]``), elementwise jnp ops, and a
+trailing ``jnp.stack`` so it evaluates correctly on (nx, ...) slabs whose
+trailing axes are batch-like. The models in :mod:`ad_mpc_tpu.models`
+(bicycle, Pacejka) satisfy this; :func:`lane_compatible` probes a dynamics
+via ``jax.eval_shape`` so callers can fall back to the XLA ``jacfwd`` path
+(:func:`ad_mpc_tpu.ops.integrators.linearize`) otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def lane_compatible(f, nx: int, nu: int, p_dim: int) -> bool:
+    """True when ``f(x, u, p)`` maps (nx, N, B), (nu, N, B), (p, N, B) slabs
+    to an (nx, N, B) slab — the layout contract of the fused kernel."""
+    try:
+        N, B = 3, 4
+        out = jax.eval_shape(
+            f,
+            jax.ShapeDtypeStruct((nx, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((nu, N, B), jnp.float32),
+            jax.ShapeDtypeStruct((max(p_dim, 1), N, B), jnp.float32),
+        )
+        return out.shape == (nx, N, B)
+    except Exception:
+        return False
+
+
+def _one_hot_rows(n, j, shape, dtype=jnp.float32):
+    """(n, *shape) slab that is 1 on leading-axis row j, 0 elsewhere.
+
+    Built from stacked scalar broadcasts: Mosaic's vector-layout pass
+    mis-slices rows re-extracted from an iota-derived value (and scatter is
+    unsupported), while stack-of-broadcasts lowers cleanly."""
+    return jnp.stack(
+        [jnp.full(shape, 1.0 if i == j else 0.0, dtype) for i in range(n)]
+    )
+
+
+def _vde_kernel(
+    xs_ref, u_ref, p_ref, a_ref, b_ref, c_ref,
+    *, f, dt, rk4_steps, N, nx, nu,
+):
+    """One batch-block program: primal RK4 + nx+nu tangent sweeps for ALL N
+    stages at once (stages on the sublane axis).
+
+    Refs: xs (nx, N+1, B), u (nu, N, B), p (p_dim, N, B);
+    outputs a (nx*nx, N, B), b (nx*nu, N, B), c (nx, N, B) with
+    a[i*nx + j] = dF_i/dx_j per (stage, scenario) — Jacobian axes stay
+    flattened onto the leading (untiled) axis; Mosaic's vector layouts are
+    rank-3-friendly and the reshape happens outside the kernel.
+    """
+    xs = xs_ref[...]
+    x = xs[:, :-1]  # (nx, N, B)
+    u = u_ref[...]  # (nu, N, B)
+    p = p_ref[...]  # (pd, N, B) — pre-expanded to full stage slabs
+    h = dt / rk4_steps
+
+    def rk4_map(xx, uu):
+        for _ in range(rk4_steps):
+            k1 = f(xx, uu, p)
+            k2 = f(xx + 0.5 * h * k1, uu, p)
+            k3 = f(xx + 0.5 * h * k2, uu, p)
+            k4 = f(xx + h * k3, uu, p)
+            xx = xx + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        return xx
+
+    # One primal evaluation + a reusable linear (tangent) map: the VDE for
+    # every stage of the block simultaneously.
+    x_next, lin = jax.linearize(rk4_map, x, u)
+
+    tail = x.shape[1:]
+    zero_u = jnp.zeros_like(u)
+    zero_x = jnp.zeros_like(x)
+    a_cols = [
+        lin(_one_hot_rows(nx, j, tail, x.dtype), zero_u) for j in range(nx)
+    ]
+    b_cols = [
+        lin(zero_x, _one_hot_rows(nu, j, tail, u.dtype)) for j in range(nu)
+    ]
+
+    # Row i*n + j holds dF_i/dv_j (column j of the Jacobian, entry i).
+    a_ref[...] = jnp.stack(
+        [a_cols[j][i] for i in range(nx) for j in range(nx)], axis=0
+    )
+    b_ref[...] = jnp.stack(
+        [b_cols[j][i] for i in range(nx) for j in range(nu)], axis=0
+    )
+    c_ref[...] = x_next - xs[:, 1:]
+
+
+def make_vde(
+    f, dt, N, nx, nu, p_dim,
+    rk4_steps: int = 1, block_b: int = LANES, interpret: bool = False,
+):
+    """Build the batched fused linearization sweep.
+
+    ``f(x, u, p)``: lane-polymorphic continuous dynamics (see module doc).
+
+    Returns ``linearize(xs, us, ps)`` with batch-FIRST shapes — xs
+    (B, N+1, nx), us (B, N, nu), ps (B, p_dim) — producing
+    (A (B, N, nx, nx), Bm (B, N, nx, nu), c (B, N, nx)), matching the
+    vmapped :func:`ad_mpc_tpu.ops.integrators.linearize`.
+    """
+    pd = max(p_dim, 1)
+    kern = functools.partial(
+        _vde_kernel,
+        f=f, dt=float(dt), rk4_steps=rk4_steps, N=N, nx=nx, nu=nu,
+    )
+
+    def linearize(xs, us, ps):
+        batch = xs.shape[0]
+        Bt = int(min(block_b, max(batch, 1)))
+        pad = (-batch) % Bt
+        full = batch + pad
+
+        def prep(v):
+            # (B, S, n) -> (n, S, full): entries lead, batch on lanes.
+            v = jnp.asarray(v, jnp.float32)
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], pad, axis=0)], axis=0
+                )
+            return jnp.moveaxis(v, 0, -1) if v.ndim == 2 else v.transpose(
+                2, 1, 0
+            )
+
+        if p_dim == 0:
+            ps = jnp.zeros((batch, 1), jnp.float32)
+        # Per-solve params expand to per-stage slabs so every in-kernel
+        # operand is a clean (stages, lanes) tile (no rank-mixing broadcast).
+        ps = jnp.broadcast_to(
+            jnp.asarray(ps, jnp.float32)[:, None, :], (batch, N, pd)
+        )
+        xs_t = prep(xs)   # (nx, N+1, full)
+        us_t = prep(us)   # (nu, N, full)
+        ps_t = prep(ps)   # (pd, N, full)
+
+        grid = (full // Bt,)
+
+        def spec(*shape):
+            nd = len(shape) + 1
+            return pl.BlockSpec(
+                tuple(shape) + (Bt,),
+                lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+                memory_space=pltpu.VMEM,
+            )
+
+        A_t, B_t, c_t = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                spec(nx, N + 1),
+                spec(nu, N),
+                spec(pd, N),
+            ],
+            out_specs=[
+                spec(nx * nx, N),
+                spec(nx * nu, N),
+                spec(nx, N),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nx * nx, N, full), jnp.float32),
+                jax.ShapeDtypeStruct((nx * nu, N, full), jnp.float32),
+                jax.ShapeDtypeStruct((nx, N, full), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xs_t, us_t, ps_t)
+
+        # (i*n+j, N, B) -> (B, N, i, j); (nx, N, B) -> (B, N, nx).
+        A = A_t.reshape(nx, nx, N, full).transpose(3, 2, 0, 1)[:batch]
+        Bm = B_t.reshape(nx, nu, N, full).transpose(3, 2, 0, 1)[:batch]
+        c = c_t.transpose(2, 1, 0)[:batch]
+        return A, Bm, c
+
+    return linearize
