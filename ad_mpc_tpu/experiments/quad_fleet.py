@@ -1,0 +1,118 @@
+"""Batched quadrotor MPC fleet for the benchmark (BENCH config 5).
+
+Runs the reference quadrotor OCP dims (nx=13, nu=4, N=10, tf=1 s —
+``ros_gp_mpc/acados_models/my_quad_acados_ocp.json``) through
+:class:`ad_mpc_tpu.ocp.solver.BatchedSQPSolver`, i.e. the same fused-kernel
+deployment path the vehicle fleet uses: the box-constrained QP runs as the
+single-launch Pallas interior-point kernel on TPU (inputs in [0,1]^4,
+``quad_3d.py:53-55``), the linearization via the backend the auto probes
+select (the quad's quaternion algebra is matmul-shaped, not
+lane-polymorphic, so the VDE rides the XLA ``jacfwd`` sweep).
+
+Scenario: each fleet member tracks a circular trajectory of per-scenario
+radius/speed/altitude (the reference's ``loop_trajectory`` family,
+``src/utils/trajectories.py:357-466``) with hover attitude references —
+closed loop against the RK4 plant with quaternion renormalization.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ad_mpc_tpu.control.mpc import quad_spec
+from ad_mpc_tpu.models.quadrotor import (
+    QuadrotorParams,
+    hover_input,
+    quad_dynamics,
+)
+from ad_mpc_tpu.ocp.solver import BatchedSQPSolver, SolverState
+
+
+def circle_reference(theta0, radius, omega, alt, N, dt):
+    """(N+1, 13) state reference along a horizontal circle: position and
+    world velocity from the circle geometry, hover attitude, zero rates."""
+    th = theta0 + omega * jnp.arange(N + 1, dtype=jnp.float32) * dt
+    zeros = jnp.zeros_like(th)
+    ones = jnp.ones_like(th)
+    return jnp.stack(
+        [
+            radius * jnp.cos(th),
+            radius * jnp.sin(th),
+            jnp.full_like(th, alt),
+            ones, zeros, zeros, zeros,  # q = identity (hover attitude)
+            -radius * omega * jnp.sin(th),
+            radius * omega * jnp.cos(th),
+            zeros,
+            zeros, zeros, zeros,
+        ],
+        axis=-1,
+    )
+
+
+def make_quad_scenarios(batch, seed=0):
+    rng = np.random.default_rng(seed)
+    radius = rng.uniform(2.0, 6.0, batch).astype(np.float32)
+    speed = rng.uniform(1.0, 4.0, batch).astype(np.float32)
+    alt = rng.uniform(1.0, 3.0, batch).astype(np.float32)
+    return jnp.asarray(radius), jnp.asarray(speed), jnp.asarray(alt)
+
+
+def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
+                     params: QuadrotorParams = QuadrotorParams()):
+    """Closed-loop quad fleet factory mirroring ``bench.build_fleet``.
+
+    Returns (tick, init, solver, spec); tick(carry) -> (carry, (kkt, lat)).
+    """
+    spec = quad_spec(n_nodes=n_nodes, qp_iters=qp_iters)
+    kw = {} if backend is None else {"backend": backend}
+    solver = BatchedSQPSolver(
+        spec, lambda x, u: quad_dynamics(x, u, params), p_dim=0, **kw
+    )
+    N, dt = spec.n_nodes, spec.dt
+    u_hover = jnp.asarray(hover_input(params), jnp.float32)
+
+    ref_v = jax.vmap(
+        lambda th, r, om, al: circle_reference(th, r, om, al, N, dt)
+    )
+
+    def renorm(x):
+        q = x[3:7]
+        return x.at[3:7].set(q / jnp.linalg.norm(q))
+
+    F_v = jax.vmap(solver._F)
+
+    def tick(carry):
+        x0, theta, radius, speed, alt, states = carry
+        omega = speed / radius
+        yref_x = ref_v(theta, radius, omega, alt)
+        yref_u = jnp.tile(u_hover[None, None], (x0.shape[0], N, 1))
+        p = jnp.zeros((x0.shape[0], 0), jnp.float32)
+        res = solver.solve(x0, yref_x, yref_u, p, states)
+        x_next = jax.vmap(renorm)(F_v(x0, res.us[:, 0], p))
+        states = solver.shift(res.state)
+        lat = jnp.linalg.norm(x_next[:, :3] - yref_x[:, 1, :3], axis=-1)
+        return (x_next, theta + omega * dt, radius, speed, alt, states), (
+            res.kkt_residual, jnp.mean(lat)
+        )
+
+    tick = jax.jit(tick, donate_argnums=(0,))
+
+    def init(batch, seed=0, extra_seed=1):
+        radius, speed, alt = make_quad_scenarios(batch, seed)
+        theta = jnp.zeros((batch,), jnp.float32)
+        x0 = jax.vmap(
+            lambda r, om, al: circle_reference(0.0, r, om, al, 0, dt)[0]
+        )(radius, speed / radius, alt)
+
+        def one_state(x):
+            return SolverState(
+                xs=jnp.tile(x[None], (N + 1, 1)),
+                us=jnp.tile(u_hover[None], (N, 1)),
+            )
+
+        states = jax.vmap(one_state)(x0)
+        return (x0, theta, radius, speed, alt, states)
+
+    return tick, init, solver, spec

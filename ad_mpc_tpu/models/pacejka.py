@@ -14,6 +14,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ad_mpc_tpu.utils.math import atan_mosaic
+
 
 class PacejkaParams(NamedTuple):
     mass: float = 1500.0
@@ -34,15 +36,18 @@ class PacejkaParams(NamedTuple):
 
 
 def slip_angles(x, params: PacejkaParams):
+    # v_x is floored at 0.5 m/s, so atan2(., v_x_safe) == atan of the ratio;
+    # atan_mosaic keeps the whole model lowerable inside the fused Pallas
+    # VDE kernel (jnp.arctan/arctan2 have no Mosaic TPU lowering).
     v_x, v_y, psi_dot, delta = x[3], x[4], x[5], x[6]
     v_x_safe = jnp.maximum(v_x, 0.5)
-    alpha_f = delta - jnp.arctan2(v_y + params.l_f * psi_dot, v_x_safe)
-    alpha_r = -jnp.arctan2(v_y - params.l_r * psi_dot, v_x_safe)
+    alpha_f = delta - atan_mosaic((v_y + params.l_f * psi_dot) / v_x_safe)
+    alpha_r = -atan_mosaic((v_y - params.l_r * psi_dot) / v_x_safe)
     return alpha_f, alpha_r
 
 
 def magic_formula(alpha, b, c, d, fz, mu):
-    return mu * fz * d * jnp.sin(c * jnp.arctan(b * alpha))
+    return mu * fz * d * jnp.sin(c * atan_mosaic(b * alpha))
 
 
 def pacejka_bicycle_dynamics(x, u, params: PacejkaParams = PacejkaParams()):

@@ -317,14 +317,24 @@ class BatchedSQPSolver:
         # vmapped-jacfwd XLA sweep. 'auto' probes the dynamics layout.
         f3 = dynamics if p_dim > 0 else (lambda x, u, p: dynamics(x, u))
         if vde == "auto":
-            from ad_mpc_tpu.ops.pallas_vde import lane_compatible
-
-            vde = (
-                "pallas"
-                if (backend == "pallas" and lane_compatible(
-                    f3, spec.nx, spec.nu, p_dim))
-                else "xla"
+            from ad_mpc_tpu.ops.pallas_vde import (
+                lane_compatible,
+                mosaic_lowerable,
             )
+
+            ok = backend == "pallas" and lane_compatible(
+                f3, spec.nx, spec.nu, p_dim
+            )
+            if ok and on_tpu and (interpret is None or not interpret):
+                # Layout compatibility is necessary but NOT sufficient: a
+                # dynamics may use a primitive with no Mosaic lowering rule
+                # (round-2: Pacejka's atan2). Attempt a real lowering and
+                # fall back to the XLA jacfwd sweep on failure.
+                ok = mosaic_lowerable(
+                    f3, spec.nx, spec.nu, p_dim,
+                    dt=spec.dt, rk4_steps=spec.rk4_steps,
+                )
+            vde = "pallas" if ok else "xla"
         self.vde = vde
 
         N, dt = spec.n_nodes, spec.dt

@@ -45,7 +45,12 @@ LANES = 128
 
 def lane_compatible(f, nx: int, nu: int, p_dim: int) -> bool:
     """True when ``f(x, u, p)`` maps (nx, N, B), (nu, N, B), (p, N, B) slabs
-    to an (nx, N, B) slab — the layout contract of the fused kernel."""
+    to an (nx, N, B) slab — the layout contract of the fused kernel.
+
+    This checks LAYOUT only. On TPU it must be combined with
+    :func:`mosaic_lowerable`, which attempts a real Mosaic lowering — a
+    dynamics can be layout-compatible yet use a primitive Pallas cannot
+    lower (e.g. ``atan2``: the round-2 bench crash)."""
     try:
         N, B = 3, 4
         out = jax.eval_shape(
@@ -55,6 +60,31 @@ def lane_compatible(f, nx: int, nu: int, p_dim: int) -> bool:
             jax.ShapeDtypeStruct((max(p_dim, 1), N, B), jnp.float32),
         )
         return out.shape == (nx, N, B)
+    except Exception:
+        return False
+
+
+def mosaic_lowerable(
+    f, nx: int, nu: int, p_dim: int, dt: float = 0.05, rk4_steps: int = 1
+) -> bool:
+    """Attempt a REAL Mosaic lowering of a tiny fused VDE built on ``f``.
+
+    ``jax.jit(...).lower(...)`` runs the Pallas→Mosaic lowering pass without
+    executing anything, so any ``NotImplementedError: Unimplemented
+    primitive`` (the class of failure that zeroed the round-2 bench) is
+    raised here instead of inside a benchmark or deployment. Cheap (a tiny
+    N=2 kernel, no compile/execute) and exact: it exercises the identical
+    ``_vde_kernel`` trace, including ``jax.linearize`` of the dynamics."""
+    try:
+        N = 2
+        lin = make_vde(f, dt, N, nx, nu, p_dim, rk4_steps=rk4_steps,
+                       block_b=8, interpret=False)
+        jax.jit(lin).lower(
+            jax.ShapeDtypeStruct((8, N + 1, nx), jnp.float32),
+            jax.ShapeDtypeStruct((8, N, nu), jnp.float32),
+            jax.ShapeDtypeStruct((8, max(p_dim, 1)), jnp.float32),
+        )
+        return True
     except Exception:
         return False
 

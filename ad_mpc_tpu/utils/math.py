@@ -15,6 +15,44 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def atan_mosaic(x):
+    """``arctan`` from Mosaic-lowerable primitives only (mul/add/div/sqrt/
+    select) — ``jnp.arctan``/``jnp.arctan2`` have no Pallas TPU lowering
+    rule, which is fatal for dynamics traced inside the fused VDE kernel
+    (:mod:`ad_mpc_tpu.ops.pallas_vde`).
+
+    Method: reciprocal range reduction to [0, 1], two half-angle reductions
+    ``atan(z) = 2 atan(z / (1 + sqrt(1 + z^2)))`` bringing the argument under
+    tan(pi/16) ≈ 0.199, then the degree-9 odd Taylor polynomial (truncation
+    error < 2e-9, below f32 rounding). Total error vs f64 ``arctan``:
+    |err| < 4e-7 for values AND first derivatives over |x| ≤ 1e30, asserted
+    by ``tests/test_math.py``. Branches use the double-``where`` trick so
+    forward/reverse AD stay NaN-free at x = 0.
+    """
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    z = jnp.where(inv, 1.0 / jnp.where(inv, ax, 1.0), ax)
+    w = z / (1.0 + jnp.sqrt(1.0 + z * z))
+    w = w / (1.0 + jnp.sqrt(1.0 + w * w))
+    w2 = w * w
+    p = w * (
+        1.0
+        + w2 * (-1.0 / 3.0 + w2 * (0.2 + w2 * (-1.0 / 7.0 + w2 / 9.0)))
+    )
+    r = 4.0 * p
+    r = jnp.where(inv, jnp.pi / 2.0 - r, r)
+    return jnp.where(x < 0.0, -r, r)
+
+
+def atan2_mosaic(y, x):
+    """Four-quadrant ``arctan2`` built on :func:`atan_mosaic` (same error
+    bound away from the negative real axis; x = 0 handled by the reciprocal
+    reduction inside ``atan_mosaic`` via y/x = ±inf)."""
+    base = atan_mosaic(y / jnp.where(x == 0.0, 1e-30, x))
+    shift = jnp.where(y < 0.0, -jnp.pi, jnp.pi)
+    return jnp.where(x < 0.0, base + shift, base)
+
+
 def skew_symmetric(v):
     """4x4 quaternion-kinematics matrix Omega(v) with q_dot = 1/2 Omega(w) q.
 

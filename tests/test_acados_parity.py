@@ -32,7 +32,7 @@ from ad_mpc_tpu.models.bicycle import (
 )
 from ad_mpc_tpu.models.quadrotor import QuadrotorParams, hover_input, quad_dynamics
 from ad_mpc_tpu.ocp.oracle import solve_ocp_oracle
-from ad_mpc_tpu.ocp.solver import SQPSolver
+from ad_mpc_tpu.ocp.solver import SolverState, SQPSolver
 
 TOL = 1e-3  # BASELINE parity tolerance on u0
 
@@ -206,6 +206,96 @@ class TestBicycleParity:
                                params=params, xtol=1e-9, gtol=1e-7, maxiter=900)
         d = float(np.max(np.abs(np.asarray(res.us[0]) - orc.us[0])))
         assert d < TOL, d
+
+
+@pytest.mark.slow
+class TestPacejkaParity:
+    """Magic-formula tire instances through the SAME dynamics-agnostic
+    oracle (VERDICT r2 #7): randomized friction / topography / stiffness
+    draws at N=20, dt=0.05, u0 parity at the BASELINE 1e-3.
+
+    Unlike the linear-tire model, the magic formula is NONMONOTONIC in slip
+    angle (force falls past the peak), so the NLP has genuine multiple
+    local optima — e.g. a "drift-side" equilibrium reachable from a bad
+    cold start. Deployment therefore warm-starts at the reference (the
+    solver's globalized line-search mode, mirroring how the reference's
+    RTI is only ever run warm, ``ad_3d_optimizer.py:469-477``), and the
+    parity contract is: same basin -> u0 at 1e-3; different basin -> OUR
+    cost must be <= the oracle's AND the oracle, warm-started at our
+    point, must certify it as a local optimum to 1e-3."""
+
+    @pytest.fixture(scope="class")
+    def solver(self):
+        from ad_mpc_tpu.models.pacejka import PacejkaParams, pacejka_dynamics_p
+
+        pp = PacejkaParams()
+        dyn = lambda x, u, p: pacejka_dynamics_p(x, u, p, pp)
+        spec = dataclasses.replace(_bike_spec(), ls_steps=8)
+        return SQPSolver(spec, dyn, p_dim=5, dtype=jnp.float64), dyn
+
+    def _cost(self, spec, dyn, params, x0, yref, yref_u, us):
+        from ad_mpc_tpu.ops.integrators import discretize, rollout
+
+        Q, R, QN = spec.weight_arrays()
+        F = discretize(lambda x, u: dyn(x, u, jnp.asarray(params)), spec.dt,
+                       spec.rk4_steps)
+        us = jnp.asarray(us)
+        xs = rollout(F, jnp.asarray(x0), us)
+        dx = xs[:-1] - yref[:-1]
+        du = us - yref_u
+        return float(
+            0.5 * jnp.sum(dx * (dx @ Q)) + 0.5 * jnp.sum(du * (du @ R))
+            + 0.5 * (xs[-1] - yref[-1]) @ QN @ (xs[-1] - yref[-1])
+        )
+
+    def test_randomized_instances(self, solver):
+        solver, dyn = solver
+        spec = solver.spec
+        N, dt = spec.n_nodes, spec.dt
+        rng = np.random.default_rng(7)
+        for i in range(8):
+            active = i >= 5
+            x0, yref, yref_u, _ = _random_bike_instance(
+                rng, N, dt, active=active
+            )
+            params = np.array([
+                rng.uniform(0.6, 1.1),      # mu
+                rng.uniform(-0.06, 0.06),   # road pitch
+                rng.uniform(-0.05, 0.05),   # road roll
+                rng.uniform(0.8, 1.2),      # B stiffness scale
+                rng.uniform(0.85, 1.15),    # D peak scale
+            ])
+            st = SolverState(
+                xs=jnp.asarray(yref), us=jnp.zeros((N, spec.nu))
+            )
+            res = solver.solve(
+                jnp.asarray(x0), jnp.asarray(yref), jnp.asarray(yref_u),
+                jnp.asarray(params), st,
+            )
+            orc = solve_ocp_oracle(spec, dyn, x0, yref, yref_u,
+                                   params=params, xtol=1e-9, gtol=1e-7,
+                                   maxiter=700)
+            d0 = float(np.max(np.abs(np.asarray(res.us[0]) - orc.us[0])))
+            if d0 < TOL:
+                continue
+            # Different basin (or an oracle that stopped short): ours must
+            # be at least as good, and certified stationary by the oracle.
+            c_ours = self._cost(spec, dyn, params, x0, yref, yref_u,
+                                np.asarray(res.us))
+            c_orc = self._cost(spec, dyn, params, x0, yref, yref_u, orc.us)
+            assert c_ours <= c_orc + 1e-6, (
+                f"pacejka[{i}] active={active}: u0 diff {d0:.2e} and the "
+                f"oracle found a better point ({c_orc:.6f} < {c_ours:.6f})"
+            )
+            orc2 = solve_ocp_oracle(spec, dyn, x0, yref, yref_u,
+                                    params=params,
+                                    us_init=np.asarray(res.us),
+                                    xtol=1e-9, gtol=1e-7, maxiter=700)
+            d2 = float(np.max(np.abs(np.asarray(res.us[0]) - orc2.us[0])))
+            assert d2 < TOL, (
+                f"pacejka[{i}] active={active}: warm-started oracle walked "
+                f"away from our point by {d2:.2e}"
+            )
 
 
 class TestQuadParity:

@@ -134,3 +134,41 @@ def test_interpol_mse():
     assert float(qm.interpol_mse(t, x, t, shifted)) == pytest.approx(
         np.sqrt(0.02), rel=1e-6
     )
+
+
+class TestMosaicAtan:
+    """Error bounds of the Mosaic-lowerable atan (documented 4e-7 for values
+    and first derivatives — the bound the Pacejka model relies on)."""
+
+    def test_value_error_bound(self):
+        import jax
+
+        for lo, hi in [(-1.5, 1.5), (-100.0, 100.0), (-1e-4, 1e-4)]:
+            x = np.linspace(lo, hi, 200_001).astype(np.float32)
+            got = np.asarray(jax.jit(qm.atan_mosaic)(x))
+            err = np.abs(got - np.arctan(x.astype(np.float64)))
+            assert err.max() < 4e-7, (lo, hi, err.max())
+
+    def test_grad_error_and_nan_free(self):
+        import jax
+
+        x = np.linspace(-5.0, 5.0, 50_001).astype(np.float32)
+        g = np.asarray(jax.vmap(jax.grad(qm.atan_mosaic))(x))
+        gref = 1.0 / (1.0 + x.astype(np.float64) ** 2)
+        assert np.isfinite(g).all()
+        assert np.abs(g - gref).max() < 4e-7
+        # the branch points x = 0 and |x| = 1 (forward mode = the VDE path)
+        for pt in (0.0, 1.0, -1.0):
+            _, t = jax.jvp(qm.atan_mosaic, (pt,), (1.0,))
+            assert np.isfinite(t) and abs(t - 1.0 / (1.0 + pt * pt)) < 1e-6
+
+    def test_atan2_quadrants(self):
+        import jax
+
+        y = np.array([1.0, 1.0, -1.0, -1.0, 0.5, 1e-3], np.float32)
+        x = np.array([1.0, -1.0, -1.0, 1.0, 2.0, -1.0], np.float32)
+        got = np.asarray(jax.jit(qm.atan2_mosaic)(y, x))
+        np.testing.assert_allclose(
+            got, np.arctan2(y.astype(np.float64), x.astype(np.float64)),
+            atol=1e-6,
+        )
