@@ -115,6 +115,25 @@ class SQPSolver:
         zu_u = np.where(soft_u, spec.zu_u, 0.0)
         Zl_u = np.where(soft_u, spec.Zl_u, 0.0)
         Zu_u = np.where(soft_u, spec.Zu_u, 0.0)
+        # Host-side (numpy) mirrors: consumers that need compile-time bound
+        # values (the Pallas kernel builder) read these — converting the
+        # jnp versions back with np.asarray would be a per-construction
+        # device->host fetch (pure overhead, and it can stall on a
+        # tunneled accelerator).
+        self._u_bounds_np = dict(
+            lb=np.asarray(lbu, np.float64), ub=np.asarray(ubu, np.float64),
+            soft=np.asarray(soft_u, bool),
+            zl=np.asarray(zl_u, np.float64), zu=np.asarray(zu_u, np.float64),
+            Zl=np.asarray(Zl_u, np.float64), Zu=np.asarray(Zu_u, np.float64),
+        )
+        self._x_bounds_np = dict(
+            lb=np.asarray(lbx, np.float64), ub=np.asarray(ubx, np.float64),
+            soft=np.asarray(soft_x, bool),
+            zl=np.zeros_like(np.asarray(lbx, np.float64)),
+            zu=np.zeros_like(np.asarray(lbx, np.float64)),
+            Zl=np.zeros_like(np.asarray(lbx, np.float64)),
+            Zu=np.zeros_like(np.asarray(lbx, np.float64)),
+        )
         self._u_bounds = BoundSpec.make(
             jnp.asarray(lbu, dtype), jnp.asarray(ubu, dtype),
             soft=jnp.asarray(soft_u),
@@ -298,9 +317,17 @@ class BatchedSQPSolver:
         vde: str = "auto",
         block_b: int = 128,
         interpret: Optional[bool] = None,
+        mesh=None,
+        roll_stages: Optional[bool] = None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the batched solve is
+        dispatched per-shard via ``jax.shard_map`` with the scenario batch
+        split over every mesh axis, so the fused Pallas kernels run
+        independently on each device (batch DP over ICI/DCN with no
+        per-solve collective; SURVEY.md §2.6)."""
         self.spec = spec
         self.p_dim = p_dim
+        self.mesh = mesh
         dtype = jnp.float32
         self.dtype = dtype
         base = SQPSolver(spec, dynamics, p_dim=p_dim, dtype=dtype)
@@ -343,23 +370,13 @@ class BatchedSQPSolver:
         if backend == "pallas":
             from ad_mpc_tpu.ops.pallas_lq import make_lq_solver
 
-            def bdict(b: BoundSpec):
-                return dict(
-                    lb=np.asarray(b.lb, np.float64),
-                    ub=np.asarray(b.ub, np.float64),
-                    soft=np.asarray(b.soft, bool),
-                    zl=np.asarray(b.zl, np.float64),
-                    zu=np.asarray(b.zu, np.float64),
-                    Zl=np.asarray(b.Zl, np.float64),
-                    Zu=np.asarray(b.Zu, np.float64),
-                )
-
             self._qp = make_lq_solver(
                 N, spec.nx, spec.nu, Q, R, QN,
-                bdict(base._u_bounds), bdict(base._x_bounds),
+                base._u_bounds_np, base._x_bounds_np,
                 iters=spec.qp_iters, reg=spec.levenberg,
                 block_b=block_b,
                 interpret=(not on_tpu) if interpret is None else interpret,
+                roll_stages=roll_stages,
             )
         else:
             def qp_xla(A, B, c, q, r, u_ref, x_ref):
@@ -450,6 +467,28 @@ class BatchedSQPSolver:
                 return SolveResult(us=us, xs=xs, state=new_state,
                                    kkt_residual=kkt, alpha=alphas[-1])
 
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            # Batch dim sharded over ALL mesh axes (host-major on a 2-D
+            # host x chip mesh); everything else replicated within a shard.
+            b = P(tuple(mesh.axis_names))
+            st_spec = SolverState(xs=b, us=b)
+            # check_vma off: the body is pure per-shard compute (no
+            # collectives), and the varying-axis checker rejects scan
+            # carries seeded from replicated constants inside the shard.
+            solve = shard_map(
+                solve,
+                mesh=mesh,
+                in_specs=(b, b, b, b, st_spec),
+                out_specs=SolveResult(
+                    us=b, xs=b, state=st_spec, kkt_residual=b, alpha=b
+                ),
+                check_vma=False,
+            )
+
+        self._solve_fn = solve  # pre-jit (compose into larger programs)
         self.solve = jax.jit(solve)
 
         def shift(state: SolverState) -> SolverState:
@@ -457,6 +496,7 @@ class BatchedSQPSolver:
             us = jnp.concatenate([state.us[:, 1:], state.us[:, -1:]], axis=1)
             return SolverState(xs=xs, us=us)
 
+        self._shift_fn = shift
         self.shift = jax.jit(shift)
 
     def init_state(self, x0s) -> SolverState:

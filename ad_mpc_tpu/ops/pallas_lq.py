@@ -482,9 +482,197 @@ def _lq_kernel(
     alpha_out[:] = alpha[None]
 
 
+def _lq_kernel_rolled(
+    A_ref, B_ref, c_ref, q_ref, r_ref, uref_ref, xref_ref,
+    Q_ref, R_ref, QN_ref, eyex_ref, eyeu_ref,
+    dx_out, du_out, alpha_out,
+    dx_s, du_s, ddx_s, ddu_s, gxp_s, wxp_s, gu_s, wu_s, K_s, k_s,
+    *, N, nx, nu, u_sides, x_sides, iters, reg, tau_min,
+):
+    """Stage-ROLLED variant of :func:`_lq_kernel`: the backward Riccati and
+    forward rollout run as ``lax.fori_loop``s with dynamically-indexed VMEM
+    scratch (per-stage state in ``*_s`` refs), instead of unrolling N
+    stages into the trace. Cuts the Mosaic program size by ~N for the
+    Riccati part — the round-2 cold compile of the N=30 unrolled kernel
+    exceeded 9 minutes (VERDICT r2 #6); per-stage reads/writes must go
+    through refs because Mosaic has no ``dynamic_slice`` on values.
+
+    Identical arithmetic and op order per stage; equality vs the unrolled
+    kernel is asserted by ``tests/test_pallas_lq.py``.
+    """
+    dtype = dx_out.dtype
+    Bt = A_ref.shape[-1]
+    Q2 = Q_ref[...]
+    R2 = R_ref[...]
+    QN2 = QN_ref[...]
+    eye_x = eyex_ref[...]
+    eye_u = eyeu_ref[...]
+    Rreg = R2 + reg * eye_u
+    q = q_ref[...]
+    r = r_ref[...]
+    u_ref = uref_ref[...]
+    x_ref = xref_ref[...]
+
+    # Initial primal iterate: du = 0, dx = defect propagation (feasible).
+    dx_s[0] = jnp.zeros((nx, Bt), dtype)
+
+    def init_body(k, dxk):
+        nxt = mat_vec(A_ref[k], dxk) + c_ref[k]
+        dx_s[k + 1] = nxt
+        return nxt
+
+    jax.lax.fori_loop(0, N, init_body, jnp.zeros((nx, Bt), dtype))
+    du_s[...] = jnp.zeros((N, nu, Bt), dtype)
+
+    t0, lam0 = 0.1, 0.1
+    sides = tuple(
+        (s, True) for s in u_sides if s.n > 0
+    ) + tuple(
+        (s, False) for s in x_sides if s.n > 0
+    )
+    dx0 = dx_s[...]
+    cones = tuple(
+        _cone_init(u_ref + du_s[...] if is_u else x_ref[1:] + dx0[1:],
+                   s, t0, lam0)
+        for s, is_u in sides
+    )
+    tau = jnp.full((Bt,), 0.1, dtype)
+    alpha = jnp.ones((Bt,), dtype)
+    comp_count = N * sum(s.comp_count_per_stage for s, _ in sides)
+
+    def ipm_body(_, carry):
+        cones, tau, _ = carry
+        dx = dx_s[...]
+        du = du_s[...]
+        u_abs = u_ref + du
+        x_abs = x_ref[1:] + dx[1:]
+
+        wu_cols = [None] * nu
+        gu_cols = [None] * nu
+        wx_cols = [None] * nx
+        gx_cols = [None] * nx
+        caches = []
+        for si, (side, is_u) in enumerate(sides):
+            v = u_abs if is_u else x_abs
+            ws, gs, cch = _cone_terms(v, side, cones[si], tau)
+            caches.append(cch)
+            tgt_w = wu_cols if is_u else wx_cols
+            tgt_g = gu_cols if is_u else gx_cols
+            for e, j in enumerate(side.idx):
+                tgt_w[j] = ws[e] if tgt_w[j] is None else tgt_w[j] + ws[e]
+                tgt_g[j] = gs[e] if tgt_g[j] is None else tgt_g[j] + gs[e]
+
+        zero_col = jnp.zeros((N, Bt), dtype)
+        stackc = lambda cols: jnp.stack(
+            [col if col is not None else zero_col for col in cols], axis=1
+        )
+        gu = stackc(gu_cols)  # (N, nu, Bt)
+        wu = stackc(wu_cols)
+        gx = stackc(gx_cols)  # (N, nx, Bt) -- stages 1..N
+        wx = stackc(wx_cols)
+        zrow = jnp.zeros((1, nx, Bt), dtype)
+        # Shifted per-stage x-cone rows: gxp[k] = gx row of stage k (zero at
+        # k=0), so the backward loop can read them at a dynamic index.
+        gxp_s[...] = jnp.concatenate([zrow, gx[: N - 1]], axis=0)
+        wxp_s[...] = jnp.concatenate([zrow, wx[: N - 1]], axis=0)
+        gu_s[...] = gu
+        wu_s[...] = wu
+
+        # Backward Riccati sweep (rolled): terminal stage N carries x-cone
+        # row N-1 (x cones cover stages 1..N).
+        P0 = QN2[:, :, None] + diag_embed(eye_x, wx[N - 1])
+        pv0 = bmat_vec(QN2, dx[N]) + q[N] + gx[N - 1]
+
+        def bwd_body(j, carry):
+            P, p_vec = carry
+            k = N - 1 - j
+            A_k = A_ref[k]
+            B_k = B_ref[k]
+            q_k = bmat_vec(Q2, dx_s[k]) + q_ref[k] + gxp_s[k]
+            r_k = bmat_vec(R2, du_s[k]) + r_ref[k] + gu_s[k]
+
+            PA = mat_mul(P, A_k)
+            PB = mat_mul(P, B_k)
+            H_uu = (
+                Rreg[:, :, None]
+                + diag_embed(eye_u, wu_s[k])
+                + mat_tmul(B_k, PB)
+            )
+            H_ux = mat_tmul(B_k, PA)
+            h_u = r_k + mat_tvec(B_k, p_vec)
+
+            L = chol_factor(H_uu, nu)
+            K = -chol_solve(L, H_ux, nu, nx)
+            kf = -chol_solve_vec(L, h_u, nu)
+            K_s[k] = K
+            k_s[k] = kf
+
+            P_new = (
+                Q2[:, :, None]
+                + diag_embed(eye_x, wxp_s[k])
+                + mat_tmul(A_k, PA)
+                + mat_tmul(H_ux, K)
+            )
+            P = 0.5 * (P_new + jnp.swapaxes(P_new, 0, 1))
+            p_vec = q_k + mat_tvec(A_k, p_vec) + mat_tvec(H_ux, kf)
+            return P, p_vec
+
+        jax.lax.fori_loop(0, N, bwd_body, (P0, pv0))
+
+        # Forward rollout of the affine policy (rolled).
+        ddx_s[0] = jnp.zeros((nx, Bt), dtype)
+
+        def fwd_body(k, ddxk):
+            ddu_k = mat_vec(K_s[k], ddxk) + k_s[k]
+            ddu_s[k] = ddu_k
+            nxt = mat_vec(A_ref[k], ddxk) + mat_vec(B_ref[k], ddu_k)
+            ddx_s[k + 1] = nxt
+            return nxt
+
+        jax.lax.fori_loop(0, N, fwd_body, jnp.zeros((nx, Bt), dtype))
+        ddx = ddx_s[...]
+        ddu = ddu_s[...]
+
+        dcones = []
+        alpha = jnp.full((Bt,), jnp.inf, dtype)
+        for si, (side, is_u) in enumerate(sides):
+            dv = ddu if is_u else ddx[1:]
+            dcn = _cone_step(dv, side, cones[si], caches[si])
+            dcones.append(dcn)
+            for v, dvv in zip(cones[si], dcn):
+                alpha = _ratio_min(v, dvv, alpha)
+        alpha = jnp.minimum(1.0, 0.995 * alpha)
+        al = alpha[None, None, :]
+
+        dx_s[...] = dx + al * ddx
+        du_s[...] = du + al * ddu
+        floor = 1e-10
+        cones_new = tuple(
+            tuple(jnp.maximum(v + al * dv, floor) for v, dv in zip(cn, dcn))
+            for cn, dcn in zip(cones, dcones)
+        )
+
+        total = jnp.zeros((Bt,), dtype)
+        for si, (side, _) in enumerate(sides):
+            total = _comp_sum(side, cones_new[si], total)
+        tau_new = jnp.maximum(
+            0.1 * total / max(comp_count, 1), tau_min
+        ).astype(dtype)
+
+        return cones_new, tau_new, alpha
+
+    _, _, alpha = jax.lax.fori_loop(
+        0, iters, ipm_body, (cones, tau, alpha)
+    )
+    dx_out[...] = dx_s[...]
+    du_out[...] = du_s[...]
+    alpha_out[...] = alpha[None]
+
+
 def make_lq_solver(
     N, nx, nu, Q, R, QN, u_bounds, x_bounds,
     iters=12, reg=1e-8, tau_min=1e-8, block_b=LANES, interpret=False,
+    roll_stages=None,
 ):
     """Build the batched Pallas QP solver.
 
@@ -492,9 +680,16 @@ def make_lq_solver(
     u_bounds/x_bounds: dicts with lb/ub/soft/zl/zu/Zl/Zu numpy arrays
     (compile-time, matching :class:`ad_mpc_tpu.ops.qp_ipm.BoundSpec`).
 
+    ``roll_stages``: True runs the Riccati/rollout stage loops as
+    ``fori_loop`` over VMEM scratch (small Mosaic program, fast compile),
+    False fully unrolls them (round-2 behavior; ~N x larger program, ~10
+    min cold compile at N=30). Default (None) rolls for N >= 16.
+
     Returns solve(A, B, c, q, r, u_ref, x_ref) with batch-FIRST shapes
     (B, N, ...) -> (dx (B,N+1,nx), du (B,N,nu), alpha (B,)).
     """
+    if roll_stages is None:
+        roll_stages = N >= 16
     u_sides = tuple(
         _SideSpec.make(**u_bounds, lo=lo) for lo in (True, False)
     )
@@ -508,7 +703,7 @@ def make_lq_solver(
     eye_u = jnp.eye(nu, dtype=jnp.float32)
 
     kern = functools.partial(
-        _lq_kernel,
+        _lq_kernel_rolled if roll_stages else _lq_kernel,
         N=N, nx=nx, nu=nu,
         u_sides=u_sides, x_sides=x_sides,
         iters=iters, reg=reg, tau_min=tau_min,
@@ -550,6 +745,22 @@ def make_lq_solver(
                 memory_space=pltpu.VMEM,
             )
 
+        scratch = []
+        if roll_stages:
+            vmem = lambda *shape: pltpu.VMEM(shape + (Bt,), jnp.float32)
+            scratch = [
+                vmem(N + 1, nx),  # dx
+                vmem(N, nu),      # du
+                vmem(N + 1, nx),  # ddx
+                vmem(N, nu),      # ddu
+                vmem(N, nx),      # gxp (shifted x-cone gradients)
+                vmem(N, nx),      # wxp
+                vmem(N, nu),      # gu
+                vmem(N, nu),      # wu
+                vmem(N, nu, nx),  # K gains
+                vmem(N, nu),      # k feedforward
+            ]
+
         dx_t, du_t, al_t = pl.pallas_call(
             kern,
             grid=grid,
@@ -577,6 +788,7 @@ def make_lq_solver(
                 jax.ShapeDtypeStruct((N, nu, full), jnp.float32),
                 jax.ShapeDtypeStruct((1, full), jnp.float32),
             ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(*inputs)
 

@@ -69,17 +69,20 @@ def mosaic_lowerable(
 ) -> bool:
     """Attempt a REAL Mosaic lowering of a tiny fused VDE built on ``f``.
 
-    ``jax.jit(...).lower(...)`` runs the Pallas→Mosaic lowering pass without
-    executing anything, so any ``NotImplementedError: Unimplemented
-    primitive`` (the class of failure that zeroed the round-2 bench) is
-    raised here instead of inside a benchmark or deployment. Cheap (a tiny
-    N=2 kernel, no compile/execute) and exact: it exercises the identical
-    ``_vde_kernel`` trace, including ``jax.linearize`` of the dynamics."""
+    ``jax.export`` with ``platforms=('tpu',)`` runs the full Pallas→Mosaic
+    lowering pass AOT — no device contact, no execution — so any
+    ``NotImplementedError: Unimplemented primitive`` (the class of failure
+    that zeroed the round-2 bench) is raised here instead of inside a
+    benchmark or deployment. Cheap (~0.5 s for a tiny N=2 kernel) and
+    exact: it exercises the identical ``_vde_kernel`` trace, including
+    ``jax.linearize`` of the dynamics. Device-free matters doubly on a
+    tunneled accelerator: probing via ``jit(...).lower()`` on the live
+    backend was observed to wedge the tunnel's transfer stream."""
     try:
         N = 2
         lin = make_vde(f, dt, N, nx, nu, p_dim, rk4_steps=rk4_steps,
                        block_b=8, interpret=False)
-        jax.jit(lin).lower(
+        jax.export.export(jax.jit(lin), platforms=("tpu",))(
             jax.ShapeDtypeStruct((8, N + 1, nx), jnp.float32),
             jax.ShapeDtypeStruct((8, N, nu), jnp.float32),
             jax.ShapeDtypeStruct((8, max(p_dim, 1)), jnp.float32),

@@ -1,23 +1,26 @@
 """Batched / sharded MPC fleets.
 
 This is the TPU-native replacement for "one ACADOS process per vehicle":
-``vmap`` turns the single-scenario SQP-RTI solve into a scenario-fleet
-solve whose per-stage Riccati ops become batched MXU matmuls, and
-``jax.sharding`` splits the fleet across an ICI mesh. Warm-start states are
-carried functionally, so the whole control tick (solve + shift) is one
-donated-buffer XLA program per step.
+the scenario fleet solves as ONE compiled program built on
+:class:`ad_mpc_tpu.ocp.solver.BatchedSQPSolver` — on TPU the QP runs as the
+single-launch fused Pallas interior-point kernel with the batch on the lane
+axis (and the fused VDE kernel when the dynamics is lane-polymorphic), off
+TPU as the vmapped XLA IPM. ``jax.sharding`` + ``shard_map`` split the
+fleet across an ICI/DCN mesh; each solve stays on its device, so batch data
+parallelism adds no per-solve collectives. Warm-start states are carried
+functionally, so the whole control tick (solve + shift) is one
+donated-buffer XLA program per step (SURVEY.md §2.6).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ad_mpc_tpu.ocp.solver import SQPSolver, SolverState
+from ad_mpc_tpu.ocp.solver import BatchedSQPSolver, SolverState
 from ad_mpc_tpu.ocp.spec import OCPSpec
 from ad_mpc_tpu.ops.integrators import rollout
 from ad_mpc_tpu.parallel.mesh import batch_sharding
@@ -26,9 +29,12 @@ from ad_mpc_tpu.parallel.mesh import batch_sharding
 class BatchedSolver:
     """Fleet-of-scenarios MPC: every argument gains a leading batch dim.
 
-    :param mesh: optional ``jax.sharding.Mesh`` with a 'batch' axis; when
-        given, inputs/outputs are sharded over it (ICI data parallelism);
-        without it the batch stays on one device.
+    :param mesh: optional ``jax.sharding.Mesh``; when given, inputs/outputs
+        shard over it (ICI data parallelism) and the fused solve dispatches
+        per-shard via ``shard_map``; without it the batch stays on one
+        device.
+    :param backend: 'auto' (fused Pallas QP kernel on TPU, XLA IPM
+        elsewhere), 'pallas' (kernel; interpret mode off TPU), or 'xla'.
     """
 
     def __init__(
@@ -39,29 +45,32 @@ class BatchedSolver:
         dtype=jnp.float32,
         mesh: Optional[Mesh] = None,
         donate_state: bool = True,
+        backend: str = "auto",
+        vde: str = "auto",
     ):
+        assert dtype == jnp.float32, "fleet solver is f32 (TPU-native)"
         self.spec = spec
         self.dtype = dtype
         self.mesh = mesh
-        self._single = SQPSolver(spec, dynamics, p_dim=p_dim, dtype=dtype)
         self.p_dim = p_dim
-
-        solve_v = jax.vmap(
-            lambda x0, yx, yu, p, st: self._single.solve(x0, yx, yu, p, st)
+        self._batched = BatchedSQPSolver(
+            spec, dynamics, p_dim=p_dim, backend=backend, vde=vde, mesh=mesh
         )
-        shift_v = jax.vmap(self._single.shift)
+        self.backend = self._batched.backend
+        self.vde = self._batched.vde
+        self._F = self._batched._F
+
+        solve_fn = self._batched._solve_fn
+        shift_fn = self._batched._shift_fn
 
         def step(x0s, yref_xs, yref_us, params, states: SolverState):
             """One fleet control tick: solve all scenarios, shift all
             warm starts. Returns (us, xs, next_states, kkt)."""
-            res = solve_v(x0s, yref_xs, yref_us, params, states)
-            next_states = shift_v(res.state)
+            res = solve_fn(x0s, yref_xs, yref_us, params, states)
+            next_states = shift_fn(res.state)
             return res.us, res.xs, next_states, res.kkt_residual
 
         if mesh is not None:
-            # 1-D (batch) or 2-D (host x chip) mesh: the scenario batch
-            # shards over every mesh axis, so each solve stays on one chip
-            # and no per-solve collective crosses DCN.
             bsh = batch_sharding(mesh)
             state_sh = SolverState(xs=bsh, us=bsh)
             step = jax.jit(
@@ -87,7 +96,7 @@ class BatchedSolver:
         params = jnp.zeros((B, self.p_dim), self.dtype)
 
         def one(x0, u_row, p):
-            Fp = lambda x, u: self._single._F(x, u, p)
+            Fp = lambda x, u: self._F(x, u, p)
             return rollout(Fp, x0, u_row)
 
         xs = jax.vmap(one)(jnp.asarray(x0s, self.dtype), us, params)

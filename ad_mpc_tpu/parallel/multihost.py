@@ -42,6 +42,8 @@ def worker_main(argv=None):
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--nodes", type=int, default=8)
     ap.add_argument("--ticks", type=int, default=5)
+    ap.add_argument("--backend", default="pallas",
+                    choices=["auto", "pallas", "xla"])
     args = ap.parse_args(argv)
 
     # Override any inherited device-count flag (e.g. the test conftest's 8):
@@ -80,11 +82,14 @@ def worker_main(argv=None):
 
     spec = bicycle_spec(t_horizon=0.4, n_nodes=args.nodes, qp_iters=6)
     p = BicycleParams()
+    # The fused Pallas path (interpret mode on CPU workers) — the same
+    # kernels a real multi-host TPU slice would launch per shard.
     solver = BatchedSolver(
         spec,
         lambda x, u, pp: bicycle_dynamics(x, u, p, switch=pp[0]),
         p_dim=1,
         mesh=mesh,
+        backend=args.backend,
     )
 
     B = args.batch
@@ -132,7 +137,7 @@ def worker_main(argv=None):
 
 def launch(procs: int = 2, batch: int = 64, devices_per_proc: int = 4,
            nodes: int = 8, ticks: int = 5, port: int = 47201,
-           timeout: float = 600.0) -> str:
+           timeout: float = 600.0, backend: str = "pallas") -> str:
     """Spawn the worker processes and return process-0's report line."""
     coord = f"127.0.0.1:{port}"
     workers = []
@@ -149,6 +154,7 @@ def launch(procs: int = 2, batch: int = 64, devices_per_proc: int = 4,
             "--batch", str(batch),
             "--nodes", str(nodes),
             "--ticks", str(ticks),
+            "--backend", backend,
         ]
         workers.append(
             subprocess.Popen(

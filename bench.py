@@ -51,11 +51,10 @@ from ad_mpc_tpu.ocp.solver import BatchedSQPSolver, SolverState
 
 PER_CHIP_TARGET = 10_000 / 8  # BASELINE: 10k solves/s on v5p-16 (8 chips)
 
-# QP backend: the fused Pallas interior-point kernel wins at EVERY batch
-# size on TPU — one launch with the scenario batch on the 128-wide lane
-# axis vs hundreds of scan micro-dispatches (measured on v5e at batch 1024:
-# 4.2 ms vs 141 ms per batched solve, backends agreeing to 2e-6 over 10
-# closed-loop ticks). 'auto' resolves to pallas on TPU, XLA elsewhere.
+# QP backend: 'auto' resolves to the fused Pallas interior-point kernel on
+# TPU (one launch, scenario batch on the lane axis) and the XLA IPM
+# elsewhere. Measured backend comparisons live in BENCH_DETAIL.json, which
+# this script regenerates — not in comments.
 BENCH_BACKEND = "auto"
 LATENCY_BACKEND = "auto"  # auto -> pallas on TPU
 

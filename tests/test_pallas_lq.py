@@ -152,3 +152,30 @@ def test_kernel_batch_padding():
     dx_r, du_r, _ = _reference_solve(args, Q, R, QN, ub, xb, 8)
     np.testing.assert_allclose(np.asarray(du_p), np.asarray(du_r),
                                atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("bounds_kind", ["bicycle", "unit"])
+def test_rolled_matches_unrolled(bounds_kind):
+    """The stage-rolled kernel (fori_loop over VMEM scratch; small Mosaic
+    program, fast cold compile — VERDICT r2 #6) must agree exactly with
+    the fully-unrolled round-2 kernel: identical arithmetic per stage."""
+    N, nx, nu, B = 30, 7, 2, 8
+    rng = np.random.default_rng(5)
+    args = _random_lq(rng, B, N, nx, nu)
+    Q = np.diag([10, 10, 50, 0, 0, 0, 1.0])
+    R = np.diag([1.0, 100.0])
+    QN = Q * 1e-6
+    ub, xb = (
+        _bounds_bicycle_like(nx, nu)
+        if bounds_kind == "bicycle"
+        else _bounds_hard_unit(nx, nu)
+    )
+    s_un = make_lq_solver(N, nx, nu, Q, R, QN, ub, xb, iters=12,
+                          interpret=True, roll_stages=False)
+    s_ro = make_lq_solver(N, nx, nu, Q, R, QN, ub, xb, iters=12,
+                          interpret=True, roll_stages=True)
+    dx1, du1, a1 = s_un(*args)
+    dx2, du2, a2 = s_ro(*args)
+    np.testing.assert_allclose(np.asarray(du1), np.asarray(du2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-7)

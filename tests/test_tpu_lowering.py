@@ -40,11 +40,15 @@ def _gp_bicycle():
     return bench.make_gp_bicycle()
 
 
-# (name, f3(x,u,p), nx, nu, p_dim, lane_polymorphic_expected)
+# (name, f3(x,u,p), nx, nu, p_dim, lane_polymorphic_expected).
+# gp_bicycle and quad are NOT lane-polymorphic (GP kernel / quaternion
+# matmuls break the slab contract) — the probes must reject them so the
+# auto path routes their VDE to the XLA jacfwd sweep (their QP still runs
+# the fused Pallas kernel).
 DYNAMICS = [
     ("bicycle", lambda x, u, p: bicycle_dynamics(x, u, _BP, switch=p[0]),
      7, 2, 1, True),
-    ("gp_bicycle", None, 7, 2, 1, True),  # built lazily (imports bench)
+    ("gp_bicycle", None, 7, 2, 1, False),  # built lazily (imports bench)
     ("pacejka", lambda x, u, p: pacejka_dynamics_p(x, u, p, _PP),
      7, 2, 5, True),
     ("quad", lambda x, u, p: quad_dynamics(x, u, _QP), 13, 4, 0, False),
@@ -122,7 +126,7 @@ def test_pallas_vs_xla_on_device(name):
     B = 8
     if name == "quad":
         spec = quad_spec(n_nodes=8, qp_iters=6)
-        f3 = lambda x, u, p: quad_dynamics(x, u, _QP)
+        f3 = lambda x, u: quad_dynamics(x, u, _QP)  # p_dim=0: 2-arg form
         ps = jnp.zeros((B, 0), jnp.float32)
         p_dim = 0
     else:
