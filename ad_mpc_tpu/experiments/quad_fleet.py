@@ -5,9 +5,10 @@ Runs the reference quadrotor OCP dims (nx=13, nu=4, N=10, tf=1 s —
 :class:`ad_mpc_tpu.ocp.solver.BatchedSQPSolver`, i.e. the same fused-kernel
 deployment path the vehicle fleet uses: the box-constrained QP runs as the
 single-launch Pallas interior-point kernel on TPU (inputs in [0,1]^4,
-``quad_3d.py:53-55``), the linearization via the backend the auto probes
-select (the quad's quaternion algebra is matmul-shaped, not
-lane-polymorphic, so the VDE rides the XLA ``jacfwd`` sweep).
+``quad_3d.py:53-55``), and the linearization rides the fused Pallas VDE
+kernel via :func:`ad_mpc_tpu.models.quadrotor.quad_dynamics_lane` — the
+entrywise (lane-polymorphic) form of the quaternion dynamics, equality-
+tested against the matmul form in ``tests/test_pallas_vde.py``.
 
 Scenario: each fleet member tracks a circular trajectory of per-scenario
 radius/speed/altitude (the reference's ``loop_trajectory`` family,
@@ -25,7 +26,7 @@ from ad_mpc_tpu.control.mpc import quad_spec
 from ad_mpc_tpu.models.quadrotor import (
     QuadrotorParams,
     hover_input,
-    quad_dynamics,
+    quad_dynamics_lane,
 )
 from ad_mpc_tpu.ocp.solver import BatchedSQPSolver, SolverState
 
@@ -68,7 +69,8 @@ def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
     spec = quad_spec(n_nodes=n_nodes, qp_iters=qp_iters)
     kw = {} if backend is None else {"backend": backend}
     solver = BatchedSQPSolver(
-        spec, lambda x, u: quad_dynamics(x, u, params), p_dim=0, **kw
+        spec, lambda x, u: quad_dynamics_lane(x, u, None, params),
+        p_dim=0, **kw
     )
     N, dt = spec.n_nodes, spec.dt
     u_hover = jnp.asarray(hover_input(params), jnp.float32)

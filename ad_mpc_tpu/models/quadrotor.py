@@ -109,6 +109,64 @@ def quad_dynamics(x, u, params: QuadrotorParams = QuadrotorParams(), rdrv_d=None
     return jnp.concatenate([p_dot, q_dot, v_dot, w_dot])
 
 
+def quad_dynamics_lane(x, u, p, params: QuadrotorParams = QuadrotorParams()):
+    """Lane-polymorphic quadrotor dynamics for the fused Pallas VDE kernel
+    (:mod:`ad_mpc_tpu.ops.pallas_vde`): per-entry indexing + elementwise ops
+    + trailing ``jnp.stack`` only, so it evaluates on (13, N, B) slabs with
+    stages/scenarios on the trailing axes. Identical mathematics to
+    :func:`quad_dynamics` with ``rdrv_d=None`` (quaternion kinematics,
+    thrust rotation and inertia torques expanded entrywise instead of via
+    matmuls, which Mosaic's vector layouts cannot tile at these ranks);
+    equality is asserted by ``tests/test_pallas_vde.py``. ``p`` is accepted
+    for the (x, u, p) kernel contract and ignored.
+    """
+    del p
+    qw, qx, qy, qz = x[3], x[4], x[5], x[6]
+    vx, vy, vz = x[7], x[8], x[9]
+    wx, wy, wz = x[10], x[11], x[12]
+
+    t0 = u[0] * params.max_thrust
+    t1 = u[1] * params.max_thrust
+    t2 = u[2] * params.max_thrust
+    t3 = u[3] * params.max_thrust
+
+    # Quaternion kinematics q_dot = 1/2 Omega(w) q, expanded.
+    q_dot_w = 0.5 * (-qx * wx - qy * wy - qz * wz)
+    q_dot_x = 0.5 * (qw * wx + qy * wz - qz * wy)
+    q_dot_y = 0.5 * (qw * wy - qx * wz + qz * wx)
+    q_dot_z = 0.5 * (qw * wz + qx * wy - qy * wx)
+
+    # v_dot = R(q) [0, 0, T/m] - g z_hat: third column of R(q), expanded.
+    a = (t0 + t1 + t2 + t3) / params.mass
+    v_dot_x = 2.0 * (qx * qz + qw * qy) * a
+    v_dot_y = 2.0 * (qy * qz - qw * qx) * a
+    v_dot_z = (1.0 - 2.0 * qx * qx - 2.0 * qy * qy) * a - params.g
+
+    # Body-rate dynamics: thrust moments (static rotor geometry unrolls to
+    # scalar coefficients) + Euler inertia coupling.
+    jxx, jyy, jzz = (float(v) for v in params.j)
+    # Python-float coefficients: numpy f64 scalars would promote the whole
+    # slab to f64 under x64 mode, which the f32 kernel refs reject.
+    x_f = [float(v) for v in params.x_f]
+    y_f = [float(v) for v in params.y_f]
+    z_l = [float(v) for v in params.z_l_tau]
+    m_x = t0 * y_f[0] + t1 * y_f[1] + t2 * y_f[2] + t3 * y_f[3]
+    m_y = -(t0 * x_f[0] + t1 * x_f[1] + t2 * x_f[2] + t3 * x_f[3])
+    m_z = t0 * z_l[0] + t1 * z_l[1] + t2 * z_l[2] + t3 * z_l[3]
+    w_dot_x = (m_x + (jyy - jzz) * wy * wz) / jxx
+    w_dot_y = (m_y + (jzz - jxx) * wz * wx) / jyy
+    w_dot_z = (m_z + (jxx - jyy) * wx * wy) / jzz
+
+    return jnp.stack(
+        [
+            vx, vy, vz,
+            q_dot_w, q_dot_x, q_dot_y, q_dot_z,
+            v_dot_x, v_dot_y, v_dot_z,
+            w_dot_x, w_dot_y, w_dot_z,
+        ]
+    )
+
+
 def normalize_quat_state(x):
     """Renormalize the quaternion block of a 13D state (post-integration)."""
     q = x[3:7]

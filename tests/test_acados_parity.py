@@ -116,6 +116,7 @@ class TestBicycleParity:
         spec = _bike_spec()
         return SQPSolver(spec, _bike_dyn, p_dim=1, dtype=jnp.float64)
 
+    @pytest.mark.slow
     def test_randomized_instances(self, solver):
         """>=20 randomized instances, mixed inactive/active bounds."""
         spec = solver.spec
@@ -134,6 +135,7 @@ class TestBicycleParity:
             worst = max(worst, d0)
         assert worst < TOL
 
+    @pytest.mark.slow
     def test_active_soft_bound_instance(self, solver):
         """The soft accel box must saturate and match the oracle's slack
         optimum (the HPIPM soft-constraint path)."""
@@ -333,6 +335,7 @@ class TestQuadParity:
             + 0.5 * (xs[-1] - yref[-1]) @ QN @ (xs[-1] - yref[-1])
         )
 
+    @pytest.mark.slow
     def test_displaced_hover_instances(self):
         """Mild displacements: oracle converges -> full u0 parity."""
         spec, solver = self._setup()
@@ -373,6 +376,7 @@ class TestQuadParity:
             worst = max(worst, d)
         assert worst < 5e-2
 
+    @pytest.mark.slow
     def test_aggressive_instance_not_worse_than_oracle(self):
         """Aggressive displacement with active [0,1] thrust bounds: the
         oracle cannot converge (nonconvexity), so the check is that OUR

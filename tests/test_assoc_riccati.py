@@ -7,6 +7,7 @@ lax.scan Riccati must be exact (same math, different evaluation order)."""
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,7 @@ def _random_lq(rng, N, nx, nu):
     return [jnp.asarray(a) for a in (A, B, c, Q, q, R, r, dx0)]
 
 
+@pytest.mark.slow
 def test_matches_sequential_across_horizons():
     rng = np.random.default_rng(0)
     for N, nx, nu in ((1, 3, 2), (10, 7, 2), (64, 4, 1), (256, 5, 2)):

@@ -82,3 +82,32 @@ def test_jit_and_grad_through_sweep_params():
     g = jax.grad(f)(p)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_bench_friction_circle_velocity_envelope():
+    """The c4 sweep's reference-velocity cap (the reference's resample_vel
+    semantics, nodes/gp_ad_mpc_node.py:344-349): after capping, no scenario
+    demands lateral acceleration beyond 85% of its drawn tire limit mu*g*D.
+    Round-3 diagnosis: every fleet member with kkt > 9e-4 had a_y demand
+    above 0.9*mu*g*D, i.e. a physically untrackable reference."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    _, p_of, v_cap = bench.make_pacejka()
+    rng = np.random.default_rng(3)
+    n = 512
+    v = rng.uniform(5.0, 15.0, n).astype(np.float32)
+    kappa = (rng.uniform(-1.0, 1.0, n) * 0.05).astype(np.float32)
+    p = np.stack([
+        np.asarray(p_of(float(vv), float(kk), rng.uniform(0.0, 1.0, 8)))
+        for vv, kk in zip(v, kappa)
+    ])
+    v_c = v_cap(v, kappa, p)
+    assert (v_c <= v + 1e-6).all()
+    a_y = v_c**2 * np.abs(kappa)
+    limit = p[:, 0] * 9.81 * p[:, 4]
+    assert (a_y <= 0.75 * limit + 1e-4).all()
+    # The cap only bites where it must: uncapped-feasible scenarios keep v.
+    feasible = v**2 * np.abs(kappa) <= 0.75 * limit
+    np.testing.assert_allclose(v_c[feasible], v[feasible])

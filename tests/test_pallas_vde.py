@@ -83,6 +83,64 @@ def test_kernel_matches_xla_linearize(f, p_dim, p_row):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-5)
 
 
+class TestQuadLane:
+    """Lane-polymorphic quadrotor dynamics (models/quadrotor.py
+    ``quad_dynamics_lane``): must equal the matmul-form ``quad_dynamics``
+    and ride the fused kernel."""
+
+    def test_equals_matmul_form(self):
+        from ad_mpc_tpu.models.quadrotor import (
+            QuadrotorParams, quad_dynamics, quad_dynamics_lane,
+        )
+
+        qp = QuadrotorParams()
+        rng = np.random.default_rng(9)
+        x = rng.normal(0.0, 0.7, (64, 13)).astype(np.float32)
+        # Mix of unnormalized and unit quaternions (equality must hold
+        # pointwise regardless).
+        x[:32, 3:7] /= np.linalg.norm(x[:32, 3:7], axis=1, keepdims=True)
+        u = rng.uniform(0.0, 1.0, (64, 4)).astype(np.float32)
+        f_mat = jax.vmap(lambda xx, uu: quad_dynamics(xx, uu, qp))
+        f_lane = jax.vmap(
+            lambda xx, uu: quad_dynamics_lane(xx, uu, None, qp)
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_lane(jnp.asarray(x), jnp.asarray(u))),
+            np.asarray(f_mat(jnp.asarray(x), jnp.asarray(u))),
+            atol=1e-4, rtol=1e-5,  # f32: the two forms associate differently
+        )
+
+    def test_lane_probe_accepts(self):
+        from ad_mpc_tpu.models.quadrotor import quad_dynamics_lane
+
+        assert lane_compatible(
+            lambda x, u, p: quad_dynamics_lane(x, u, p), 13, 4, 0
+        )
+
+    def test_kernel_matches_xla_linearize_quad(self):
+        from ad_mpc_tpu.models.quadrotor import quad_dynamics_lane
+
+        f = lambda x, u, p: quad_dynamics_lane(x, u, p)
+        rng = np.random.default_rng(13)
+        B, N, nx, nu, dt = 4, 5, 13, 4, 0.1
+        xs = rng.normal(0.0, 0.3, (B, N + 1, nx)).astype(np.float32)
+        xs[:, :, 3] += 1.0  # quaternion w
+        us = rng.uniform(0.0, 1.0, (B, N, nu)).astype(np.float32)
+        xs, us = jnp.asarray(xs), jnp.asarray(us)
+        ps = jnp.zeros((B, 1), jnp.float32)
+
+        lin_k = make_vde(f, dt, N, nx, nu, 0, block_b=8,
+                         interpret=INTERPRET)
+        A1, B1, c1 = lin_k(xs, us, ps)
+        A2, B2, c2 = _xla_linearize(f, dt, xs, us, ps)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A2),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(B1), np.asarray(B2),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   atol=3e-5)
+
+
 def test_batch_padding_to_block():
     """Batch not a multiple of block_b: padded rows must not leak."""
     rng = np.random.default_rng(5)

@@ -6,6 +6,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ad_mpc_tpu.control.mpc import QuadMPC, quad_spec
 from ad_mpc_tpu.nodes.quad_node import MissionPhase, QuadMissionNode
 from ad_mpc_tpu.nodes.reference_publisher import (

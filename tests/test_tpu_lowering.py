@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from ad_mpc_tpu.control.mpc import bicycle_spec, quad_spec
 from ad_mpc_tpu.models.bicycle import BicycleParams, bicycle_dynamics
 from ad_mpc_tpu.models.pacejka import PacejkaParams, pacejka_dynamics_p
-from ad_mpc_tpu.models.quadrotor import QuadrotorParams, quad_dynamics
+from ad_mpc_tpu.models.quadrotor import (
+    QuadrotorParams,
+    quad_dynamics,
+    quad_dynamics_lane,
+)
 from ad_mpc_tpu.ocp.solver import BatchedSQPSolver, SolverState
 from ad_mpc_tpu.ops.pallas_vde import lane_compatible, mosaic_lowerable
 
@@ -41,10 +45,11 @@ def _gp_bicycle():
 
 
 # (name, f3(x,u,p), nx, nu, p_dim, lane_polymorphic_expected).
-# gp_bicycle and quad are NOT lane-polymorphic (GP kernel / quaternion
-# matmuls break the slab contract) — the probes must reject them so the
-# auto path routes their VDE to the XLA jacfwd sweep (their QP still runs
-# the fused Pallas kernel).
+# gp_bicycle and the matmul-form quad are NOT lane-polymorphic (GP kernel /
+# quaternion matmuls break the slab contract) — the probes must reject them
+# so the auto path routes their VDE to the XLA jacfwd sweep (their QP still
+# runs the fused Pallas kernel). quad_lane is the expanded entrywise form
+# built for the fused kernel (models/quadrotor.py:quad_dynamics_lane).
 DYNAMICS = [
     ("bicycle", lambda x, u, p: bicycle_dynamics(x, u, _BP, switch=p[0]),
      7, 2, 1, True),
@@ -52,6 +57,8 @@ DYNAMICS = [
     ("pacejka", lambda x, u, p: pacejka_dynamics_p(x, u, p, _PP),
      7, 2, 5, True),
     ("quad", lambda x, u, p: quad_dynamics(x, u, _QP), 13, 4, 0, False),
+    ("quad_lane", lambda x, u, p: quad_dynamics_lane(x, u, p, _QP),
+     13, 4, 0, True),
 ]
 
 
@@ -117,14 +124,19 @@ def _solve_both(spec, f3, p_dim, ps, seed=0):
 
 @pytest.mark.parametrize(
     "name",
-    ["bicycle", "pacejka", "quad"],
+    ["bicycle", "pacejka", "quad", "quad_lane"],
 )
 def test_pallas_vs_xla_on_device(name):
     """Compile the fused kernels with interpret=False on the real chip and
     equality-check the full solve against the XLA backend."""
     assert jax.devices()[0].platform == "tpu"
     B = 8
-    if name == "quad":
+    if name == "quad_lane":
+        spec = quad_spec(n_nodes=8, qp_iters=6)
+        f3 = lambda x, u: quad_dynamics_lane(x, u, None, _QP)
+        ps = jnp.zeros((B, 0), jnp.float32)
+        p_dim = 0
+    elif name == "quad":
         spec = quad_spec(n_nodes=8, qp_iters=6)
         f3 = lambda x, u: quad_dynamics(x, u, _QP)  # p_dim=0: 2-arg form
         ps = jnp.zeros((B, 0), jnp.float32)
