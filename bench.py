@@ -477,17 +477,21 @@ def main():
         r256, _ = run_config(tick, init, 256)
         r1024, carry_ = run_config(tick, init, 1024)
         r4096, _ = run_config(tick, init, 4096)
+        r16k, _ = run_config(tick, init, 16384)
         carry = carry_
         detail["configs"]["c2_dynamic_bicycle_b256"] = r256
         detail["configs"]["c2_dynamic_bicycle_b1024"] = r1024
         detail["configs"]["c2_dynamic_bicycle_b4096"] = r4096
+        detail["configs"]["c2_dynamic_bicycle_b16384"] = r16k
         log(f"# c2 dynamic-tire N=30: b256 {r256['solves_per_s']:.0f}/s "
             f"b1024 {r1024['solves_per_s']:.0f}/s "
             f"b4096 {r4096['solves_per_s']:.0f}/s "
-            f"kkt mean={r4096['kkt_mean']:.2e} max={r4096['kkt_max']:.2e} "
-            f"lat_err={r4096['lat_err_mean_m']:.3f} m")
+            f"b16384 {r16k['solves_per_s']:.0f}/s "
+            f"kkt mean={r16k['kkt_mean']:.2e} max={r16k['kkt_max']:.2e} "
+            f"lat_err={r16k['lat_err_mean_m']:.3f} m")
         # Headline = best c2 batch size (same OCP, same gates).
-        return max((r256, r1024, r4096), key=lambda r: r["solves_per_s"])
+        return max((r256, r1024, r4096, r16k),
+                   key=lambda r: r["solves_per_s"])
 
     r1024 = guarded("c2_dynamic_bicycle", run_c2)
 
@@ -536,10 +540,10 @@ def main():
         from ad_mpc_tpu.experiments.quad_fleet import build_quad_fleet
 
         tick_q, init_q, solver_q, _ = build_quad_fleet()
-        r_q, _ = run_config(tick_q, init_q, 256)
+        r_q, _ = run_config(tick_q, init_q, 256, warmup=20)
         r_q["vde_backend"] = solver_q.vde
         detail["configs"]["c5_quad_b256"] = r_q
-        r_q2, _ = run_config(tick_q, init_q, 1024)
+        r_q2, _ = run_config(tick_q, init_q, 1024, warmup=20)
         r_q2["vde_backend"] = solver_q.vde
         detail["configs"]["c5_quad_b1024"] = r_q2
         log(f"# c5 quad N=10 (vde={solver_q.vde}): "
