@@ -525,13 +525,20 @@ def main():
         # Long warmup: the fleet cold-starts off the arc (v_y=psi_dot=0),
         # and the stiff-tire transient takes ~40 ticks to die out; kkt is
         # a steady-state tracking metric, not a cold-start one.
-        r_pac, _ = run_config(tick_p, init_p, 4096, ticks=10, warmup=45)
+        r_pac, carry_p = run_config(tick_p, init_p, 4096, ticks=10,
+                                    warmup=45)
         r_pac["vde_backend"] = solver_p.vde
         detail["configs"]["c4_pacejka_b4096"] = r_pac
+        # Same deployed-RTI-vs-converged-SQP gate the bicycle gets: the
+        # stiff magic-formula model is where one-iteration RTI is most
+        # stressed (VERDICT r2 #7).
+        d_pac = rti_vs_converged(pac_dyn, pac_p, carry_p)
+        detail["c4_rti_vs_converged_u0"] = d_pac
         log(f"# c4 Pacejka sweep N=30 (vde={solver_p.vde}): "
             f"b4096 {r_pac['solves_per_s']:.0f}/s "
             f"kkt mean={r_pac['kkt_mean']:.2e} max={r_pac['kkt_max']:.2e} "
-            f"lat_err={r_pac['lat_err_mean_m']:.3f} m")
+            f"lat_err={r_pac['lat_err_mean_m']:.3f} m "
+            f"rti_vs_conv={d_pac:.2e}")
 
     guarded("c4_pacejka", run_c4)
 
@@ -577,6 +584,9 @@ def main():
                 failures.append(f"{cfg_name}.{key}={r[key]:.3e}>{GATES[key]}")
     if d_u0 is not None and d_u0 > GATES["rti_vs_converged_u0"]:
         failures.append(f"rti_vs_converged_u0={d_u0:.3e}")
+    d_pac = detail.get("c4_rti_vs_converged_u0")
+    if d_pac is not None and d_pac > GATES["rti_vs_converged_u0"]:
+        failures.append(f"c4_rti_vs_converged_u0={d_pac:.3e}")
     for name, err in detail["errors"].items():
         failures.append(f"{name} raised: {err[:120]}")
     detail["quality_gates"] = {"pass": not failures, "failures": failures,
