@@ -511,9 +511,12 @@ def main():
         tick_g, init_g, _, _ = build_fleet(make_gp_bicycle(), switch_on)
         r_gp, _ = run_config(tick_g, init_g, 256)
         detail["configs"]["c3_gp_bicycle_b256"] = r_gp
+        r_gp2, _ = run_config(tick_g, init_g, 4096)
+        detail["configs"]["c3_gp_bicycle_b4096"] = r_gp2
         log(f"# c3 GP-augmented N=30: b256 {r_gp['solves_per_s']:.0f}/s "
-            f"kkt mean={r_gp['kkt_mean']:.2e} "
-            f"lat_err={r_gp['lat_err_mean_m']:.3f} m")
+            f"b4096 {r_gp2['solves_per_s']:.0f}/s "
+            f"kkt mean={r_gp2['kkt_mean']:.2e} "
+            f"lat_err={r_gp2['lat_err_mean_m']:.3f} m")
 
     guarded("c3_gp_bicycle", run_c3)
 
