@@ -87,7 +87,7 @@ def test_jit_and_grad_through_sweep_params():
 def test_bench_friction_circle_velocity_envelope():
     """The c4 sweep's reference-velocity cap (the reference's resample_vel
     semantics, nodes/gp_ad_mpc_node.py:344-349): after capping, no scenario
-    demands lateral acceleration beyond 85% of its drawn tire limit mu*g*D.
+    demands lateral acceleration beyond 75% of its drawn tire limit mu*g*D.
     Round-3 diagnosis: every fleet member with kkt > 9e-4 had a_y demand
     above 0.9*mu*g*D, i.e. a physically untrackable reference."""
     import sys, os
@@ -111,3 +111,19 @@ def test_bench_friction_circle_velocity_envelope():
     # The cap only bites where it must: uncapped-feasible scenarios keep v.
     feasible = v**2 * np.abs(kappa) <= 0.75 * limit
     np.testing.assert_allclose(v_c[feasible], v[feasible])
+
+
+def test_fleet_init_applies_velocity_envelope():
+    """bench.build_fleet(v_cap=...) must cap both the reference speed and
+    the initial forward velocity before anything reaches the solver."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    dyn, p_of, v_cap = bench.make_pacejka()
+    _, init, _, _ = bench.build_fleet(dyn, p_of, v_cap=v_cap)
+    x0, s0, v, kappa, p, states = init(256, seed=0)
+    v, kappa, p = np.asarray(v), np.asarray(kappa), np.asarray(p)
+    a_y = v**2 * np.abs(kappa)
+    assert (a_y <= 0.75 * p[:, 0] * 9.81 * p[:, 4] + 1e-3).all()
+    np.testing.assert_allclose(np.asarray(x0)[:, 3], v)
