@@ -60,18 +60,65 @@ def make_quad_scenarios(batch, seed=0):
     return jnp.asarray(radius), jnp.asarray(speed), jnp.asarray(alt)
 
 
+def make_quad_gp_ensemble(seed: int = 23, n: int = 32):
+    """Synthetic-but-real GP ensemble on the quadrotor's aerodynamic
+    residual layout (the reference's RA-L flagship: GP corrections on the
+    body-frame velocity dynamics, ``quad_3d_optimizer.py:289-327`` —
+    out dims 7/8/9, features = body-frame velocities)."""
+    from ad_mpc_tpu.learned.ensemble import GPEnsemble
+    from ad_mpc_tpu.learned.gp import GPParams
+
+    rng = np.random.default_rng(seed)
+    gps = [[], [], []]
+    for dim in range(3):
+        X = rng.uniform(-5.0, 5.0, (n, 3))
+        # Drag-like residual: quadratic in the dim's own body velocity.
+        y = -0.03 * X[:, dim] * np.abs(X[:, dim]) + 0.01 * X[:, (dim + 1) % 3]
+        ls = np.full(3, 2.5)
+        sf, sn = 0.05, 0.02
+        diff = (X[:, None, :] - X[None, :, :]) / ls
+        K = sf * np.exp(-0.5 * np.sum(diff * diff, axis=-1))
+        K += (sn**2 + 1e-6) * np.eye(n)
+        gps[dim].append(GPParams(
+            x_train=X, k_inv_y=np.linalg.solve(K, y - y.mean()),
+            len_scale=ls, sigma_f=sf, sigma_n=sn, y_mean=float(y.mean()),
+            centroid=X.mean(axis=0),
+        ))
+    return GPEnsemble.from_gps(gps, out_idx=(7, 8, 9), feat_idx=(7, 8, 9))
+
+
 def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
-                     params: QuadrotorParams = QuadrotorParams()):
+                     params: QuadrotorParams = QuadrotorParams(),
+                     ensemble=None):
     """Closed-loop quad fleet factory mirroring ``bench.build_fleet``.
+
+    ``ensemble``: optional GPEnsemble — adds the body-frame-rotated GP
+    velocity residual ``R(q) GP(v_body)`` to the nominal dynamics, exactly
+    the GP-augmented model the reference bakes into per-cluster codegen
+    (``quad_3d_optimizer.py:289-327``) but as a dynamics closure in the
+    SAME compiled fleet program. The GP kernel evaluation is matmul-shaped,
+    so the auto probe routes the VDE to the XLA jacfwd sweep while the QP
+    stays on the fused Pallas kernel (the c3 GP-bicycle pattern).
 
     Returns (tick, init, solver, spec); tick(carry) -> (carry, (kkt, lat)).
     """
     spec = quad_spec(n_nodes=n_nodes, qp_iters=qp_iters)
     kw = {} if backend is None else {"backend": backend}
-    solver = BatchedSQPSolver(
-        spec, lambda x, u: quad_dynamics_lane(x, u, None, params),
-        p_dim=0, **kw
-    )
+
+    if ensemble is None:
+        dyn = lambda x, u: quad_dynamics_lane(x, u, None, params)
+    else:
+        from ad_mpc_tpu.learned.ensemble import body_frame_features, predict
+        from ad_mpc_tpu.utils.math import v_dot_q
+
+        def dyn(x, u):
+            xd = quad_dynamics_lane(x, u, None, params)
+            z = body_frame_features(x, ensemble.feat_idx)
+            mu_body = predict(ensemble, z).astype(xd.dtype)
+            mu_world = v_dot_q(mu_body, x[3:7])
+            return xd.at[7:10].add(mu_world)
+
+    solver = BatchedSQPSolver(spec, dyn, p_dim=0, **kw)
     N, dt = spec.n_nodes, spec.dt
     u_hover = jnp.asarray(hover_input(params), jnp.float32)
 

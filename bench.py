@@ -564,6 +564,28 @@ def main():
 
     guarded("c5_quad", run_c5)
 
+    # ---- config 6: GP-augmented quadrotor fleet (the reference's RA-L
+    # flagship capability — GP velocity-residual correction — at fleet
+    # scale: body-frame features, rotated mean, one compiled program).
+    def run_c6():
+        from ad_mpc_tpu.experiments.quad_fleet import (
+            build_quad_fleet,
+            make_quad_gp_ensemble,
+        )
+
+        tick_g, init_g, solver_g, _ = build_quad_fleet(
+            ensemble=make_quad_gp_ensemble()
+        )
+        r_g, _ = run_config(tick_g, init_g, 256, warmup=20)
+        r_g["vde_backend"] = solver_g.vde
+        detail["configs"]["c6_gp_quad_b256"] = r_g
+        log(f"# c6 GP-quad N=10 (vde={solver_g.vde}): "
+            f"b256 {r_g['solves_per_s']:.0f}/s "
+            f"kkt mean={r_g['kkt_mean']:.2e} max={r_g['kkt_max']:.2e} "
+            f"lat_err={r_g['lat_err_mean_m']:.3f} m")
+
+    guarded("c6_gp_quad", run_c6)
+
     # ---- single-solve latency vs the 20 ms budget
     def run_lat():
         lat = bench_latency(dynamic_bicycle, switch_on)
