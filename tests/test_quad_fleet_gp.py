@@ -13,6 +13,7 @@ from ad_mpc_tpu.experiments.quad_fleet import (
 )
 
 
+@pytest.mark.slow
 def test_gp_residual_changes_solution_and_fleet_tracks():
     ens = make_quad_gp_ensemble()
     tick_n, init_n, sol_n, _ = build_quad_fleet(backend="xla")
