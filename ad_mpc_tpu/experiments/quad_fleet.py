@@ -95,10 +95,11 @@ def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
     ``ensemble``: optional GPEnsemble — adds the body-frame-rotated GP
     velocity residual ``R(q) GP(v_body)`` to the nominal dynamics, exactly
     the GP-augmented model the reference bakes into per-cluster codegen
-    (``quad_3d_optimizer.py:289-327``) but as a dynamics closure in the
-    SAME compiled fleet program. The GP kernel evaluation is matmul-shaped,
-    so the auto probe routes the VDE to the XLA jacfwd sweep while the QP
-    stays on the fused Pallas kernel (the c3 GP-bicycle pattern).
+    (``quad_3d_optimizer.py:289-327``), in the lane-polymorphic form of
+    :mod:`ad_mpc_tpu.learned.lane` — so the GP mean evaluates INSIDE the
+    fused Pallas VDE kernel (the reference inlines the symbolic mean into
+    its ACADOS codegen; here the inlining is the dynamics closure itself)
+    and the whole GP fleet remains ONE compiled program.
 
     Returns (tick, init, solver, spec); tick(carry) -> (carry, (kkt, lat)).
     """
@@ -108,15 +109,14 @@ def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
     if ensemble is None:
         dyn = lambda x, u: quad_dynamics_lane(x, u, None, params)
     else:
-        from ad_mpc_tpu.learned.ensemble import body_frame_features, predict
-        from ad_mpc_tpu.utils.math import v_dot_q
+        from ad_mpc_tpu.learned.lane import (
+            add_rows,
+            quad_lane_residual_terms,
+        )
 
         def dyn(x, u):
-            xd = quad_dynamics_lane(x, u, None, params)
-            z = body_frame_features(x, ensemble.feat_idx)
-            mu_body = predict(ensemble, z).astype(xd.dtype)
-            mu_world = v_dot_q(mu_body, x[3:7])
-            return xd.at[7:10].add(mu_world)
+            base = quad_dynamics_lane(x, u, None, params)
+            return add_rows(base, quad_lane_residual_terms(ensemble, x))
 
     solver = BatchedSQPSolver(spec, dyn, p_dim=0, **kw)
     N, dt = spec.n_nodes, spec.dt

@@ -208,9 +208,13 @@ def dynamic_bicycle(x, u, p):
 def make_gp_bicycle():
     """GP-augmented dynamic bicycle (BASELINE config 3): a synthetic-but-real
     GP ensemble (32 points, 4 features, 2 output dims on v_y_dot/psi_ddot)
-    whose batched kernel inference fuses into the RK4 rollout."""
-    from ad_mpc_tpu.learned.ensemble import GPEnsemble, state_residual_fn
+    fused into the RK4 rollout in lane-polymorphic form
+    (:mod:`ad_mpc_tpu.learned.lane`), so the VDE runs the fused Pallas
+    kernel — the TPU analogue of the reference inlining the symbolic GP
+    mean into its solver codegen (``quad_3d_optimizer.py:289-327``)."""
+    from ad_mpc_tpu.learned.ensemble import GPEnsemble
     from ad_mpc_tpu.learned.gp import GPParams
+    from ad_mpc_tpu.learned.lane import add_rows, lane_residual_terms
 
     rng = np.random.default_rng(11)
     n, d = 32, 4
@@ -237,10 +241,10 @@ def make_gp_bicycle():
             )
         )
     ens = GPEnsemble.from_gps(gps, out_idx=(4, 5), feat_idx=(3, 4, 5, 6))
-    resid = state_residual_fn(ens)
 
     def gp_bicycle(x, u, p):
-        return bicycle_dynamics(x, u, _BP, switch=p[0]) + resid(x, u)
+        base = bicycle_dynamics(x, u, _BP, switch=p[0])
+        return add_rows(base, lane_residual_terms(ens, x))
 
     return gp_bicycle
 

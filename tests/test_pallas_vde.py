@@ -141,6 +141,165 @@ class TestQuadLane:
                                    atol=3e-5)
 
 
+class TestLaneGP:
+    """GP-augmented dynamics in lane form (learned/lane.py): the learned
+    residual evaluates INSIDE the fused VDE kernel (the reference's
+    symbolic-GP-in-codegen capability, ``quad_3d_optimizer.py:289-327``)
+    and must match the XLA jacfwd sweep exactly.
+
+    Kernel-equality tests use small (n=8) training sets: interpret-mode
+    compiles of the unrolled SE mean are minutes-slow on CPU at n=32, and
+    the failure class (layout / lowering / math drift) is size-independent.
+    The full bench-size ensembles run through the REAL Mosaic path in the
+    TPU lane (``test_tpu_lowering.py``)."""
+
+    def _quad_ens(self, n=8):
+        from ad_mpc_tpu.experiments.quad_fleet import make_quad_gp_ensemble
+
+        return make_quad_gp_ensemble(n=n)
+
+    def _bicycle_gp(self, n=8):
+        """Small-n twin of ``bench.make_gp_bicycle`` (same layout/closure
+        structure, reduced training set)."""
+        from ad_mpc_tpu.learned.ensemble import GPEnsemble
+        from ad_mpc_tpu.learned.gp import GPParams
+        from ad_mpc_tpu.learned.lane import add_rows, lane_residual_terms
+
+        rng = np.random.default_rng(11)
+        d = 4
+        gps = [[], []]
+        for dim in range(2):
+            X = rng.uniform(
+                [-0.0, -1.0, -0.5, -0.5], [15.0, 1.0, 0.5, 0.5], (n, d)
+            )
+            y = 0.05 * np.sin(X[:, 1] * 3.0) + 0.02 * X[:, 2] * (dim + 1)
+            ls = np.array([5.0, 0.5, 0.3, 0.3])
+            sf, sn = 0.01, 0.05
+            diff = (X[:, None, :] - X[None, :, :]) / ls
+            K = sf * np.exp(-0.5 * np.sum(diff * diff, axis=-1))
+            K += (sn**2 + 1e-6) * np.eye(n)
+            gps[dim].append(GPParams(
+                X, np.linalg.solve(K, y - y.mean()), ls, sf, sn,
+                float(y.mean()), X.mean(axis=0),
+            ))
+        ens = GPEnsemble.from_gps(gps, out_idx=(4, 5), feat_idx=(3, 4, 5, 6))
+
+        def gp_bicycle(x, u, p):
+            base = bicycle_dynamics(x, u, _BP, switch=p[0])
+            return add_rows(base, lane_residual_terms(ens, x))
+
+        return gp_bicycle
+
+    def test_lane_mean_equals_ensemble_predict(self):
+        from ad_mpc_tpu.learned.ensemble import (
+            body_frame_features, predict, quad_residual_fn,
+        )
+        from ad_mpc_tpu.learned.lane import quad_lane_residual_terms
+
+        ens = self._quad_ens()
+        rng = np.random.default_rng(2)
+        for _ in range(4):
+            x = rng.normal(0.0, 1.0, 13)
+            x[3:7] /= np.linalg.norm(x[3:7])
+            x = jnp.asarray(x)
+            old = quad_residual_fn(ens)(x, None)
+            terms = quad_lane_residual_terms(ens, x)
+            new = np.zeros(13)
+            for d, v in terms.items():
+                new[d] = float(v)
+            np.testing.assert_allclose(np.asarray(old), new, atol=1e-6)
+
+    def test_gp_bicycle_kernel_matches_xla(self):
+        f = self._bicycle_gp(n=6)
+        rng = np.random.default_rng(3)
+        B, N, nx, nu, dt = 4, 4, 7, 2, 0.05
+        xs, us = _random_traj(rng, B, N, nx, nu)
+        ps = jnp.ones((B, 1), jnp.float32)
+        lin_k = make_vde(f, dt, N, nx, nu, 1, block_b=8,
+                         interpret=INTERPRET)
+        A1, B1, c1 = lin_k(xs, us, ps)
+        A2, B2, c2 = _xla_linearize(f, dt, xs, us, ps)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(B1), np.asarray(B2), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-5)
+
+    def test_gp_quad_kernel_matches_xla(self):
+        from ad_mpc_tpu.learned.lane import (
+            add_rows, quad_lane_residual_terms,
+        )
+        from ad_mpc_tpu.models.quadrotor import quad_dynamics_lane
+
+        ens = self._quad_ens(n=4)
+
+        def f(x, u, p):
+            return add_rows(
+                quad_dynamics_lane(x, u, p),
+                quad_lane_residual_terms(ens, x),
+            )
+
+        rng = np.random.default_rng(13)
+        B, N, dt = 4, 3, 0.1
+        xs = rng.normal(0.0, 0.3, (B, N + 1, 13)).astype(np.float32)
+        xs[:, :, 3] += 1.0
+        us = rng.uniform(0.0, 1.0, (B, N, 4)).astype(np.float32)
+        xs, us = jnp.asarray(xs), jnp.asarray(us)
+        ps = jnp.zeros((B, 1), jnp.float32)
+        lin_k = make_vde(f, dt, N, 13, 4, 0, block_b=8, interpret=INTERPRET)
+        A1, B1, c1 = lin_k(xs, us, ps)
+        A2, B2, c2 = _xla_linearize(f, dt, xs, us, ps)
+        np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(B1), np.asarray(B2), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=3e-5)
+
+    def test_param_routed_clusters_match_fixed_gather(self):
+        """Parameter-routed GP (cluster params in p, gathered out of kernel)
+        equals the baked evaluation at the selected cluster, and is lane
+        compatible — one compiled program serves mixed-cluster fleets."""
+        from ad_mpc_tpu.learned.ensemble import GPEnsemble
+        from ad_mpc_tpu.learned.gp import GPParams
+        from ad_mpc_tpu.learned.lane import (
+            add_rows, lane_residual_terms, param_residual_dynamics,
+        )
+
+        rng = np.random.default_rng(4)
+        n, d = 6, 4
+        gps = [[], []]
+        for dim in range(2):
+            for c in range(2):  # two clusters, distinct centroids
+                X = rng.uniform(-1, 1, (n, d)) + 3.0 * c
+                y = 0.1 * X[:, 0] + 0.05 * c
+                ls = np.full(d, 1.5)
+                K = 0.2 * np.exp(
+                    -0.5 * np.sum(
+                        ((X[:, None] - X[None]) / ls) ** 2, axis=-1
+                    )
+                ) + 1e-3 * np.eye(n)
+                gps[dim].append(GPParams(
+                    X, np.linalg.solve(K, y - y.mean()), ls, 0.2, 0.03,
+                    float(y.mean()), X.mean(axis=0),
+                ))
+        ens = GPEnsemble.from_gps(gps, out_idx=(4, 5), feat_idx=(3, 4, 5, 6))
+
+        f_p, p_dim, pack = param_residual_dynamics(ens, _bicycle, 1)
+        assert lane_compatible(f_p, 7, 2, p_dim)
+
+        for c in range(2):
+            x = jnp.asarray(
+                rng.normal(0, 0.3, 7).astype(np.float32)
+            ).at[3:7].add(3.0 * c)  # feature dims land in cluster c's basin
+            u = jnp.asarray(rng.normal(0, 0.2, 2).astype(np.float32))
+            z = jnp.stack([x[i] for i in ens.feat_idx])
+            p = pack(z, jnp.ones(1, jnp.float32))
+            got = f_p(x, u, p)
+            want = add_rows(
+                _bicycle(x, u, p), lane_residual_terms(ens, x, cluster=c)
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5,
+                err_msg=f"cluster {c}",
+            )
+
+
 def test_batch_padding_to_block():
     """Batch not a multiple of block_b: padded rows must not leak."""
     rng = np.random.default_rng(5)

@@ -13,13 +13,31 @@ from ad_mpc_tpu.experiments.quad_fleet import (
 )
 
 
+def test_gp_quad_dynamics_is_lane_polymorphic():
+    """Round-4 capability: the lane-form GP residual keeps the GP-augmented
+    quad on the fused Pallas VDE path (the layout probe must ACCEPT it; the
+    real Mosaic lowering is asserted by the TPU lane,
+    ``test_tpu_lowering.py``)."""
+    from ad_mpc_tpu.learned.lane import add_rows, quad_lane_residual_terms
+    from ad_mpc_tpu.models.quadrotor import quad_dynamics_lane
+    from ad_mpc_tpu.ops.pallas_vde import lane_compatible
+
+    ens = make_quad_gp_ensemble()
+
+    def f3(x, u, p):
+        return add_rows(
+            quad_dynamics_lane(x, u, p),
+            quad_lane_residual_terms(ens, x),
+        )
+
+    assert lane_compatible(f3, 13, 4, 0)
+
+
 @pytest.mark.slow
 def test_gp_residual_changes_solution_and_fleet_tracks():
     ens = make_quad_gp_ensemble()
     tick_n, init_n, sol_n, _ = build_quad_fleet(backend="xla")
     tick_g, init_g, sol_g, _ = build_quad_fleet(backend="xla", ensemble=ens)
-    # GP kernel evaluation is matmul-shaped -> XLA VDE (the c3 pattern).
-    assert sol_g.vde == "xla"
 
     carry_n, carry_g = init_n(8, 0), init_g(8, 0)
     for _ in range(3):

@@ -45,15 +45,20 @@ def _gp_bicycle():
 
 
 # (name, f3(x,u,p), nx, nu, p_dim, lane_polymorphic_expected).
-# gp_bicycle and the matmul-form quad are NOT lane-polymorphic (GP kernel /
-# quaternion matmuls break the slab contract) — the probes must reject them
-# so the auto path routes their VDE to the XLA jacfwd sweep (their QP still
-# runs the fused Pallas kernel). quad_lane is the expanded entrywise form
-# built for the fused kernel (models/quadrotor.py:quad_dynamics_lane).
+# The matmul-form quad is NOT lane-polymorphic (quaternion matmuls break
+# the slab contract) — the probe must reject it so the auto path routes its
+# VDE to the XLA jacfwd sweep (its QP still runs the fused Pallas kernel).
+# quad_lane is the expanded entrywise form built for the fused kernel
+# (models/quadrotor.py:quad_dynamics_lane). The GP-augmented dynamics are
+# lane-polymorphic since round 4 (learned/lane.py): the SE-kernel mean
+# unrolls its static training set into VPU arithmetic — the TPU analogue of
+# the reference inlining the symbolic GP mean into its solver codegen
+# (quad_3d_optimizer.py:289-327).
 DYNAMICS = [
     ("bicycle", lambda x, u, p: bicycle_dynamics(x, u, _BP, switch=p[0]),
      7, 2, 1, True),
-    ("gp_bicycle", None, 7, 2, 1, False),  # built lazily (imports bench)
+    ("gp_bicycle", None, 7, 2, 1, True),  # built lazily (imports bench)
+    ("gp_quad_lane", None, 13, 4, 0, True),  # lazily (imports experiments)
     ("pacejka", lambda x, u, p: pacejka_dynamics_p(x, u, p, _PP),
      7, 2, 5, True),
     ("quad", lambda x, u, p: quad_dynamics(x, u, _QP), 13, 4, 0, False),
@@ -62,10 +67,27 @@ DYNAMICS = [
 ]
 
 
+def _gp_quad_lane():
+    from ad_mpc_tpu.experiments.quad_fleet import make_quad_gp_ensemble
+    from ad_mpc_tpu.learned.lane import add_rows, quad_lane_residual_terms
+
+    ens = make_quad_gp_ensemble()
+
+    def f3(x, u, p):
+        return add_rows(
+            quad_dynamics_lane(x, u, p, _QP),
+            quad_lane_residual_terms(ens, x),
+        )
+
+    return f3
+
+
 def _resolve(name, f3):
     if name == "gp_bicycle":
         gp = _gp_bicycle()
         return lambda x, u, p: gp(x, u, p)
+    if name == "gp_quad_lane":
+        return _gp_quad_lane()
     return f3
 
 
@@ -124,7 +146,8 @@ def _solve_both(spec, f3, p_dim, ps, seed=0):
 
 @pytest.mark.parametrize(
     "name",
-    ["bicycle", "pacejka", "quad", "quad_lane"],
+    ["bicycle", "pacejka", "quad", "quad_lane", "gp_bicycle",
+     "gp_quad_lane"],
 )
 def test_pallas_vs_xla_on_device(name):
     """Compile the fused kernels with interpret=False on the real chip and
@@ -136,6 +159,17 @@ def test_pallas_vs_xla_on_device(name):
         f3 = lambda x, u: quad_dynamics_lane(x, u, None, _QP)
         ps = jnp.zeros((B, 0), jnp.float32)
         p_dim = 0
+    elif name == "gp_quad_lane":
+        spec = quad_spec(n_nodes=8, qp_iters=6)
+        g = _gp_quad_lane()
+        f3 = lambda x, u: g(x, u, None)
+        ps = jnp.zeros((B, 0), jnp.float32)
+        p_dim = 0
+    elif name == "gp_bicycle":
+        spec = bicycle_spec(t_horizon=0.4, n_nodes=8, qp_iters=6)
+        f3 = _resolve("gp_bicycle", None)
+        ps = jnp.ones((B, 1), jnp.float32)
+        p_dim = 1
     elif name == "quad":
         spec = quad_spec(n_nodes=8, qp_iters=6)
         f3 = lambda x, u: quad_dynamics(x, u, _QP)  # p_dim=0: 2-arg form
