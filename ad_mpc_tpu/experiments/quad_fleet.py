@@ -89,7 +89,7 @@ def make_quad_gp_ensemble(seed: int = 23, n: int = 32):
 
 def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
                      params: QuadrotorParams = QuadrotorParams(),
-                     ensemble=None):
+                     ensemble=None, sqp_iters: int = 1):
     """Closed-loop quad fleet factory mirroring ``bench.build_fleet``.
 
     ``ensemble``: optional GPEnsemble — adds the body-frame-rotated GP
@@ -103,7 +103,8 @@ def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
 
     Returns (tick, init, solver, spec); tick(carry) -> (carry, (kkt, lat)).
     """
-    spec = quad_spec(n_nodes=n_nodes, qp_iters=qp_iters)
+    spec = quad_spec(n_nodes=n_nodes, qp_iters=qp_iters,
+                     sqp_iters=sqp_iters)
     kw = {} if backend is None else {"backend": backend}
 
     if ensemble is None:
@@ -165,3 +166,32 @@ def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
         return (x0, theta, radius, speed, alt, states)
 
     return tick, init, solver, spec
+
+
+def rti_vs_converged_quad(carry, n_check=64, n_nodes=10, ensemble=None):
+    """Deployed-RTI-vs-converged-SQP u0 gate for the quad fleet (the same
+    check ``bench.rti_vs_converged`` applies to the vehicle configs): from
+    a live fleet state, u0 of the 1-iteration RTI tick must agree with a
+    fully converged multi-iteration SQP solve — the measure that the RTI
+    KKT defect is linearization residue, not solution error."""
+    x0, theta, radius, speed, alt, states = carry
+    m = min(n_check, x0.shape[0])
+    x0m = x0[:m]
+    st_m = jax.tree.map(lambda t: t[:m], states)
+
+    _, _, sol1, spec = build_quad_fleet(n_nodes=n_nodes, qp_iters=18,
+                                        ensemble=ensemble)
+    _, _, sol6, _ = build_quad_fleet(n_nodes=n_nodes, qp_iters=24,
+                                     sqp_iters=6, ensemble=ensemble)
+
+    N, dt = spec.n_nodes, spec.dt
+    om = (speed / radius)[:m]
+    yref_x = jax.vmap(
+        lambda th, r, o, al: circle_reference(th, r, o, al, N, dt)
+    )(theta[:m], radius[:m], om, alt[:m])
+    u_h = jnp.asarray(hover_input(), jnp.float32)
+    yref_u = jnp.tile(u_h[None, None], (m, N, 1))
+    p = jnp.zeros((m, 0), jnp.float32)
+    u_rti = sol1.solve(x0m, yref_x, yref_u, p, st_m).us[:, 0]
+    u_cvg = sol6.solve(x0m, yref_x, yref_u, p, st_m).us[:, 0]
+    return float(jnp.max(jnp.abs(u_rti - u_cvg)))

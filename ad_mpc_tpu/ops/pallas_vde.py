@@ -104,22 +104,25 @@ def _one_hot_rows(n, j, shape, dtype=jnp.float32):
 
 
 def _vde_kernel(
-    xs_ref, u_ref, p_ref, a_ref, b_ref, c_ref,
-    *, f, dt, rk4_steps, N, nx, nu,
+    xlo_ref, xhi_ref, u_ref, p_ref, a_ref, b_ref, c_ref,
+    *, f, dt, rk4_steps, nx, nu, mode="linearize",
 ):
-    """One batch-block program: primal RK4 + nx+nu tangent sweeps for ALL N
-    stages at once (stages on the sublane axis).
+    """One (stage-block, batch-block) program: primal RK4 + nx+nu tangent
+    sweeps for a block of stages at once (stages on the sublane axis).
 
-    Refs: xs (nx, N+1, B), u (nu, N, B), p (p_dim, N, B);
-    outputs a (nx*nx, N, B), b (nx*nu, N, B), c (nx, N, B) with
+    Refs: xlo/xhi (nx, Nt, B) — the iterate at stages k and k+1 (stage
+    linearizations are mutually independent, so the horizon blocks onto the
+    grid exactly like the batch; passing the shifted iterate as a second
+    operand keeps every BlockSpec non-overlapping); u (nu, Nt, B),
+    p (pd, Nt, B) pre-expanded to full stage slabs; outputs
+    a (nx*nx, Nt, B), b (nx*nu, Nt, B), c (nx, Nt, B) with
     a[i*nx + j] = dF_i/dx_j per (stage, scenario) — Jacobian axes stay
     flattened onto the leading (untiled) axis; Mosaic's vector layouts are
     rank-3-friendly and the reshape happens outside the kernel.
     """
-    xs = xs_ref[...]
-    x = xs[:, :-1]  # (nx, N, B)
-    u = u_ref[...]  # (nu, N, B)
-    p = p_ref[...]  # (pd, N, B) — pre-expanded to full stage slabs
+    x = xlo_ref[...]  # (nx, Nt, B)
+    u = u_ref[...]  # (nu, Nt, B)
+    p = p_ref[...]  # (pd, Nt, B)
     h = dt / rk4_steps
 
     def rk4_map(xx, uu):
@@ -131,19 +134,41 @@ def _vde_kernel(
             xx = xx + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
         return xx
 
-    # One primal evaluation + a reusable linear (tangent) map: the VDE for
-    # every stage of the block simultaneously.
-    x_next, lin = jax.linearize(rk4_map, x, u)
-
     tail = x.shape[1:]
     zero_u = jnp.zeros_like(u)
     zero_x = jnp.zeros_like(x)
-    a_cols = [
-        lin(_one_hot_rows(nx, j, tail, x.dtype), zero_u) for j in range(nx)
-    ]
-    b_cols = [
-        lin(zero_x, _one_hot_rows(nu, j, tail, u.dtype)) for j in range(nu)
-    ]
+    if mode == "linearize":
+        # One primal evaluation + a reusable linear (tangent) map: the VDE
+        # for every stage of the block simultaneously.
+        x_next, lin = jax.linearize(rk4_map, x, u)
+        a_cols = [
+            lin(_one_hot_rows(nx, j, tail, x.dtype), zero_u)
+            for j in range(nx)
+        ]
+        b_cols = [
+            lin(zero_x, _one_hot_rows(nu, j, tail, u.dtype))
+            for j in range(nu)
+        ]
+    else:
+        # mode == "jvp": one fused primal+tangent pass per basis vector.
+        # ~nx+nu redundant primal evaluations, but NO long-lived linearize
+        # residuals — with residual-heavy dynamics (the unrolled GP mean:
+        # hundreds of exp intermediates that `linearize` keeps live across
+        # every tangent sweep) the Mosaic register allocator otherwise
+        # spills past the scoped-VMEM limit and the compile dies (observed
+        # at N=30, block 128, 32-point GP). jvp interleaves primal and
+        # tangent, so the live set stays O(dynamics depth).
+        x_next = rk4_map(x, u)
+        a_cols = [
+            jax.jvp(rk4_map, (x, u),
+                    (_one_hot_rows(nx, j, tail, x.dtype), zero_u))[1]
+            for j in range(nx)
+        ]
+        b_cols = [
+            jax.jvp(rk4_map, (x, u),
+                    (zero_x, _one_hot_rows(nu, j, tail, u.dtype)))[1]
+            for j in range(nu)
+        ]
 
     # Row i*n + j holds dF_i/dv_j (column j of the Jacobian, entry i).
     a_ref[...] = jnp.stack(
@@ -152,16 +177,32 @@ def _vde_kernel(
     b_ref[...] = jnp.stack(
         [b_cols[j][i] for i in range(nx) for j in range(nu)], axis=0
     )
-    c_ref[...] = x_next - xs[:, 1:]
+    c_ref[...] = x_next - xhi_ref[...]
+
+
+DEFAULT_BLOCK_N = 8
 
 
 def make_vde(
     f, dt, N, nx, nu, p_dim,
     rk4_steps: int = 1, block_b: int = LANES, interpret: bool = False,
+    mode: str = "linearize", block_n: int = DEFAULT_BLOCK_N,
 ):
     """Build the batched fused linearization sweep.
 
     ``f(x, u, p)``: lane-polymorphic continuous dynamics (see module doc).
+
+    ``mode``: 'linearize' (one primal + reusable tangent map) or 'jvp'
+    (per-basis fused primal+tangent; smaller live set for residual-heavy
+    dynamics — see ``_vde_kernel``).
+
+    ``block_n``: stages per kernel program. Stage linearizations are
+    independent, so the horizon blocks onto the grid like the batch; the
+    default of one sublane tile (8) keeps every in-kernel value a single
+    vector register per lane group — at full-horizon slabs (N=30) a
+    residual-heavy dynamics (the 32-point GP mean) was observed to blow the
+    Mosaic register allocator past the scoped-VMEM limit and kill the
+    compile outright.
 
     Returns ``linearize(xs, us, ps)`` with batch-FIRST shapes — xs
     (B, N+1, nx), us (B, N, nu), ps (B, p_dim) — producing
@@ -169,9 +210,13 @@ def make_vde(
     vmapped :func:`ad_mpc_tpu.ops.integrators.linearize`.
     """
     pd = max(p_dim, 1)
+    Nt = int(min(block_n, N))
+    n_pad = (-N) % Nt
+    Np = N + n_pad
     kern = functools.partial(
         _vde_kernel,
-        f=f, dt=float(dt), rk4_steps=rk4_steps, N=N, nx=nx, nu=nu,
+        f=f, dt=float(dt), rk4_steps=rk4_steps, nx=nx, nu=nu,
+        mode=mode,
     )
 
     def linearize(xs, us, ps):
@@ -181,15 +226,20 @@ def make_vde(
         full = batch + pad
 
         def prep(v):
-            # (B, S, n) -> (n, S, full): entries lead, batch on lanes.
+            # (B, S, n) -> (n, S_pad, full): entries lead, batch on lanes,
+            # stage axis padded to the block multiple (replicated last
+            # stage; padded outputs are cropped, so values only need to be
+            # finite).
             v = jnp.asarray(v, jnp.float32)
             if pad:
                 v = jnp.concatenate(
                     [v, jnp.repeat(v[-1:], pad, axis=0)], axis=0
                 )
-            return jnp.moveaxis(v, 0, -1) if v.ndim == 2 else v.transpose(
-                2, 1, 0
-            )
+            if n_pad:
+                v = jnp.concatenate(
+                    [v, jnp.repeat(v[:, -1:], n_pad, axis=1)], axis=1
+                )
+            return v.transpose(2, 1, 0)
 
         if p_dim == 0:
             ps = jnp.zeros((batch, 1), jnp.float32)
@@ -198,45 +248,42 @@ def make_vde(
         ps = jnp.broadcast_to(
             jnp.asarray(ps, jnp.float32)[:, None, :], (batch, N, pd)
         )
-        xs_t = prep(xs)   # (nx, N+1, full)
-        us_t = prep(us)   # (nu, N, full)
-        ps_t = prep(ps)   # (pd, N, full)
+        xs = jnp.asarray(xs, jnp.float32)
+        xlo_t = prep(xs[:, :-1])  # (nx, Np, full)
+        xhi_t = prep(xs[:, 1:])   # (nx, Np, full)
+        us_t = prep(us)           # (nu, Np, full)
+        ps_t = prep(ps)           # (pd, Np, full)
 
-        grid = (full // Bt,)
+        grid = (Np // Nt, full // Bt)
 
-        def spec(*shape):
-            nd = len(shape) + 1
+        def spec(rows):
             return pl.BlockSpec(
-                tuple(shape) + (Bt,),
-                lambda i, _nd=nd: (0,) * (_nd - 1) + (i,),
+                (rows, Nt, Bt),
+                lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             )
 
         A_t, B_t, c_t = pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[
-                spec(nx, N + 1),
-                spec(nu, N),
-                spec(pd, N),
-            ],
-            out_specs=[
-                spec(nx * nx, N),
-                spec(nx * nu, N),
-                spec(nx, N),
-            ],
+            in_specs=[spec(nx), spec(nx), spec(nu), spec(pd)],
+            out_specs=[spec(nx * nx), spec(nx * nu), spec(nx)],
             out_shape=[
-                jax.ShapeDtypeStruct((nx * nx, N, full), jnp.float32),
-                jax.ShapeDtypeStruct((nx * nu, N, full), jnp.float32),
-                jax.ShapeDtypeStruct((nx, N, full), jnp.float32),
+                jax.ShapeDtypeStruct((nx * nx, Np, full), jnp.float32),
+                jax.ShapeDtypeStruct((nx * nu, Np, full), jnp.float32),
+                jax.ShapeDtypeStruct((nx, Np, full), jnp.float32),
             ],
             interpret=interpret,
-        )(xs_t, us_t, ps_t)
+        )(xlo_t, xhi_t, us_t, ps_t)
 
         # (i*n+j, N, B) -> (B, N, i, j); (nx, N, B) -> (B, N, nx).
-        A = A_t.reshape(nx, nx, N, full).transpose(3, 2, 0, 1)[:batch]
-        Bm = B_t.reshape(nx, nu, N, full).transpose(3, 2, 0, 1)[:batch]
-        c = c_t.transpose(2, 1, 0)[:batch]
+        A = A_t.reshape(nx, nx, Np, full).transpose(3, 2, 0, 1)[
+            :batch, :N
+        ]
+        Bm = B_t.reshape(nx, nu, Np, full).transpose(3, 2, 0, 1)[
+            :batch, :N
+        ]
+        c = c_t.transpose(2, 1, 0)[:batch, :N]
         return A, Bm, c
 
     return linearize

@@ -289,7 +289,11 @@ def make_pacejka():
 
 # ----------------------------------------------------------------- measuring
 
-def run_config(tick, init, batch, ticks=20, warmup=5, seed=0):
+def run_config(tick, init, batch, ticks=20, warmup=5, seed=0, notes=None):
+    """One measured row. The returned dict is self-describing (ADVICE r3):
+    it records its own measurement window (warmup/ticks) and any scenario
+    filtering notes, so rows with different windows are comparable by
+    inspection instead of by reading this file's history."""
     carry = init(batch, seed)
     tic0 = time.perf_counter()
     carry, (kkt, lat) = tick(carry)  # first call: XLA/Mosaic compile
@@ -303,15 +307,20 @@ def run_config(tick, init, batch, ticks=20, warmup=5, seed=0):
         carry, (kkt, lat) = tick(carry)
     jax.block_until_ready(kkt)
     dt = time.perf_counter() - tic
-    return {
+    row = {
         "solves_per_s": batch * ticks / dt,
         "kkt_mean": float(jnp.mean(kkt)),
         "kkt_p99": float(jnp.percentile(kkt, 99)),
         "kkt_max": float(jnp.max(kkt)),
         "lat_err_mean_m": float(lat),
         "batch": batch,
+        "warmup_ticks": warmup,
+        "measured_ticks": ticks,
         "first_call_s": round(compile_s, 2),  # compile (or cache-load) + run
-    }, carry
+    }
+    if notes:
+        row["notes"] = notes
+    return row, carry
 
 
 def rti_vs_converged(dynamics, p_of, carry, n_check=64, n_nodes=30):
