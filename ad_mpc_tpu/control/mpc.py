@@ -134,6 +134,60 @@ class BicycleMPC:
 
     def reset(self):
         self.state = None
+
+    def make_fused_step(self):
+        """One-device-call controller step for deployment nodes: solve +
+        RTI shift + plausibility gate (``is_valid_command``) + predicted-
+        trajectory health + backup-control selection composed into a single
+        jitted program.
+
+        Deployment rationale: every separate host fetch (``np.asarray`` on
+        a result, ``bool()`` on a gate) pays a full host-link round trip —
+        on a remote/tunneled accelerator that dominates the control period
+        (measured: ~8 RTTs/tick through the unfused path). The fused step
+        returns ``(cmd, healthy, state, prev_us, have_prev)`` where only
+        ``(cmd, healthy)`` need fetching — ONE round trip per tick, the
+        irreducible minimum for a host-side actuator.
+        """
+        import jax
+
+        from ad_mpc_tpu.models.bicycle import blend_switch as _blend
+
+        solver, params = self.solver, self.params
+        N = self.spec.n_nodes
+        yref_u = jnp.zeros((N, 2), jnp.float32)
+
+        @jax.jit
+        def step(packed, state, prev_us, have_prev):
+            # packed (N+2, 7): row 0 = x0, rows 1: = yref_x — a SINGLE
+            # host->device transfer per tick (separate puts each pay a
+            # link round trip on a remote accelerator).
+            x0 = packed[0]
+            yref_x = packed[1:]
+            sw = _blend(x0[3], params)
+            res = solver.solve(x0, yref_x, yref_u,
+                               jnp.stack([sw]), state)
+            new_state = solver.shift(res.state)
+            ok = safety.is_valid_command(res.xs, yref_x)
+            pred_ok = safety.check_pred_traj(res.xs, x0)
+            use_backup = (~ok) & have_prev
+            us_out = jnp.where(
+                use_backup, safety.backup_control(prev_us), res.us
+            )
+            # node-level steering integration (gp_ad_mpc_node.py:222-224)
+            steer_cmd = jnp.clip(
+                x0[6] + us_out[0, 1] * 0.1,
+                params.steering_min, params.steering_max,
+            )
+            # out (4,): [accel, steer_rate, steer_cmd, healthy] — one
+            # device->host fetch covers command AND watchdog signal.
+            out = jnp.stack([
+                us_out[0, 0], us_out[0, 1], steer_cmd,
+                (ok & pred_ok).astype(jnp.float32),
+            ])
+            return out, new_state, us_out, have_prev | ok
+
+        return step
         self._prev_us = None
 
 

@@ -60,6 +60,15 @@ class ADControllerNode:
         self.n_solves = 0
         self.n_unsafe = 0
         self.timer = RateTimer(rate_hz)
+        # Per-tick control wall time [s] (reference budget: the 20 ms
+        # control period, gp_ad_mpc_node.py:50-56) — filled by run().
+        self.tick_wall = []
+        # Fused one-device-call controller step + its device-resident carry
+        # (warm start, previous plan): ONE host fetch per tick.
+        self._fused = self.mpc.make_fused_step()
+        self._fstate = None
+        self._prev_us = None
+        self._have_prev = None
 
     # ---------------------------------------------------------- I/O threads
 
@@ -81,23 +90,46 @@ class ADControllerNode:
 
     def control_tick(self, x: np.ndarray) -> np.ndarray | None:
         """One MPC tick for state x; returns the control message
-        [accel, steer_rate, steer_cmd] or None when not armed/safe."""
-        wp = self.ref_gen.get_waypoints(x[0], x[1], x[2])
-        v_ref = resample_vel(wp.v_ref, x[3], self.spec.dt,
-                             acc_max=3.0, dec_max=5.0)
-        n = self.spec.n_nodes
-        x_ref = np.zeros((n + 1, 7))
-        x_ref[:, 0] = np.asarray(wp.x_ref)
-        x_ref[:, 1] = np.asarray(wp.y_ref)
-        x_ref[:, 2] = np.asarray(wp.psi_ref)
-        x_ref[:, 3] = np.asarray(v_ref)
-        self.mpc.set_reference(x_ref)
+        [accel, steer_rate, steer_cmd] (brake fallback while unarmed).
 
-        us, xs, ok = self.mpc.optimize(x)
+        The whole solver-side tick (solve, shift, plausibility gates,
+        backup-control selection, steering integration) is ONE jitted call
+        with device-resident carry; the single host fetch of
+        ``(cmd, healthy)`` is the only link round trip per tick — on a
+        tunneled accelerator the unfused path paid ~8 RTTs."""
+        import jax
+        import jax.numpy as jnp
+
+        # Reference windowing runs on the HOST CPU backend: its outputs are
+        # consumed by numpy immediately, and on a remote accelerator every
+        # np.asarray of a device-resident array pays a link round trip
+        # (measured: 4-5 RTTs/tick through the default backend).
+        with jax.default_device(jax.devices("cpu")[0]):
+            wp = self.ref_gen.get_waypoints(x[0], x[1], x[2])
+            v_ref = resample_vel(wp.v_ref, x[3], self.spec.dt,
+                                 acc_max=3.0, dec_max=5.0)
+            n = self.spec.n_nodes
+            x_ref = np.zeros((n + 1, 7), np.float32)
+            x_ref[:, 0] = np.asarray(wp.x_ref)
+            x_ref[:, 1] = np.asarray(wp.y_ref)
+            x_ref[:, 2] = np.asarray(wp.psi_ref)
+            x_ref[:, 3] = np.asarray(v_ref)
+
+        packed = np.concatenate([x[None].astype(np.float32), x_ref])
+        if self._fstate is None:
+            self._fstate = self.mpc.solver.init_state(
+                jnp.asarray(x, jnp.float32)
+            )
+            self._prev_us = jnp.zeros((n, 2), jnp.float32)
+            self._have_prev = jnp.asarray(False)
+        out, self._fstate, self._prev_us, self._have_prev = self._fused(
+            packed, self._fstate, self._prev_us, self._have_prev
+        )
+        out_np = jax.device_get(out)
+        cmd_np, healthy_b = out_np[:3], out_np[3] > 0.5
         self.n_solves += 1
 
-        healthy = ok and bool(safety.check_pred_traj(np.asarray(xs), x))
-        armed = self.gate.update(healthy)
+        armed = self.gate.update(bool(healthy_b))
         if not armed:
             # While unarmed the auxiliary fallback controller publishes
             # hold-steering + full braking on EVERY tick (the reference's
@@ -105,32 +137,33 @@ class ADControllerNode:
             # gp_ad_mpc_node.py:446-481) — never silence the actuator and
             # let the plant coast on its last command.
             self.n_unsafe += 1
-            u_brake, steer = safety.brake_command(float(x[6]))
-            return np.array([float(u_brake[0]), 0.0, steer], np.float32)
+            return np.array([-1e5, 0.0, float(x[6])], np.float32)
 
-        u0 = np.asarray(us[0])
-        # steering command = current steering + rate * (1/10 period), the
-        # node-level steering integration (gp_ad_mpc_node.py:222-224).
-        steer_cmd = float(
-            np.clip(x[6] + u0[1] * 0.1, -0.52, 0.52)
-        )
-        return np.array([u0[0], u0[1], steer_cmd], np.float32)
+        return np.asarray(cmd_np, np.float32)
 
     def warmup(self):
         """Trigger XLA compilation of the full tick before entering the
         real-time loop (the reference pays the analogous cost in ACADOS
         codegen+gcc at node startup, SURVEY.md §3.4)."""
+        import jax
+
         n = 50
         xs = np.linspace(0, 50, n)
-        self.ref_gen.set_traj(xs, np.zeros(n), np.zeros(n), np.full(n, 5.0))
+        with jax.default_device(jax.devices("cpu")[0]):
+            self.ref_gen.set_traj(xs, np.zeros(n), np.zeros(n),
+                                  np.full(n, 5.0))
         x = np.zeros(7)
         x[3] = 5.0
         self.control_tick(x)
         self.mpc.reset()
+        self._fstate = None
+        self._prev_us = None
+        self._have_prev = None
         self.ref_gen._path = None
         self.gate.count = 0
         self.n_solves = 0
         self.n_unsafe = 0
+        self.tick_wall = []
 
     def run(self, max_ticks: int | None = None, warmup: bool = True):
         if warmup:
@@ -149,8 +182,12 @@ class ADControllerNode:
 
             wp_msg = self.wp_q.pop_latest()
             if wp_msg is not None:
+                import jax
+
                 _, w = wp_msg
-                self.ref_gen.set_traj(w[:, 0], w[:, 1], w[:, 2], w[:, 3])
+                with jax.default_device(jax.devices("cpu")[0]):
+                    self.ref_gen.set_traj(w[:, 0], w[:, 1], w[:, 2],
+                                          w[:, 3])
 
             st_msg = self.state_q.pop_latest()
             if st_msg is not None:
@@ -164,7 +201,11 @@ class ADControllerNode:
             if not busy:
                 continue
 
+            from ad_mpc_tpu.runtime import monotonic_ns
+
+            t0 = monotonic_ns()
             cmd = self.control_tick(x)
+            self.tick_wall.append((monotonic_ns() - t0) / 1e9)
             if cmd is not None:
                 self.control_pub.publish(topics.TAG_CONTROL, cmd)
 

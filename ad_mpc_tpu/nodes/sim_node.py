@@ -24,12 +24,18 @@ class SimNode:
         state_port: int = topics.STATE_PORT,
         control_port: int = topics.CONTROL_PORT,
         waypoint_port: int = topics.WAYPOINT_PORT,
+        device=None,
     ):
+        """``device``: optional jax device for the plant step — e.g.
+        ``jax.devices('cpu')[0]`` to keep the 50 Hz plant local while the
+        controller's solver runs on a (possibly tunneled) accelerator in
+        the same process."""
         import jax
         import jax.numpy as jnp
 
         from ad_mpc_tpu.experiments.ad_closed_loop import oval_track
 
+        self._device = device
         self.rate_hz = rate_hz
         self.dt = 1.0 / rate_hz
         self.sim = BicycleSim(disturbances=disturbances)
@@ -72,14 +78,22 @@ class SimNode:
             _, cmd = msg
             self.u = np.asarray(cmd[:2], np.float64)
 
-        self.x, self.key = self.sim.step(self.x, self.u, self.key, self.dt)
+        self.x, self.key = self._step()
         self.states.append(xi)
+
+    def _step(self):
+        if self._device is None:
+            return self.sim.step(self.x, self.u, self.key, self.dt)
+        import jax
+
+        with jax.default_device(self._device):
+            return self.sim.step(self.x, self.u, self.key, self.dt)
 
     def warmup(self):
         """Compile the plant step before the real-time loop."""
         import jax
 
-        x, key = self.sim.step(self.x, self.u, self.key, self.dt)
+        x, key = self._step()
         jax.block_until_ready(x)
 
     def run(self, max_ticks: int | None = None, warmup: bool = True):

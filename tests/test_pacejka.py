@@ -85,8 +85,10 @@ def test_jit_and_grad_through_sweep_params():
 
 
 def test_bench_friction_circle_velocity_envelope():
-    """The c4 sweep's reference-velocity cap (the reference's resample_vel
-    semantics, nodes/gp_ad_mpc_node.py:344-349): after capping, no scenario
+    """The c4 sweep's reference-velocity cap (analogous in spirit to the
+    reference's resample_vel longitudinal-reachability cap,
+    nodes/gp_ad_mpc_node.py:344-349; the lateral friction-circle form is
+    ours): after capping, no scenario
     demands lateral acceleration beyond 75% of its drawn tire limit mu*g*D.
     Round-3 diagnosis: every fleet member with kkt > 9e-4 had a_y demand
     above 0.9*mu*g*D, i.e. a physically untrackable reference."""
