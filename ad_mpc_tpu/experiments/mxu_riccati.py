@@ -1,0 +1,169 @@
+"""MXU-vs-VPU measurement for the batched small-matrix Riccati workload.
+
+VERDICT r3 #4 asked for the MXU question to be *measured*, not argued: the
+production QP kernel keeps the batch on VPU lanes and expresses the 7x7 /
+13x13 stage algebra entrywise, leaving the MXU idle. This experiment pits
+that layout against the best MXU-shaped alternatives XLA offers on the same
+math and commits the numbers (docs/SOLVER.md §MXU quotes the output).
+
+Two levels:
+
+1. **micro** — the Riccati inner op, a chained batched matmul
+   ``X <- A @ X`` over B=16384 scenarios of nx=7 (12 links: long enough
+   to be compute-bound, short enough that the f32 chain stays conditioned):
+   (a) `jnp.einsum`
+   batched-matmul (XLA picks its best TPU mapping, MXU when profitable)
+   vs (b) a lane-layout Pallas kernel computing the identical chain with
+   entries unrolled and batch on lanes. Reports wall ms and achieved
+   GFLOP/s for both.
+2. **macro** — the full production QP: one closed-loop c2 tick at b4096
+   with ``backend='pallas'`` (fused lane IPM kernel) vs ``backend='xla'``
+   (vmapped einsum IPM — XLA's own scheduling, free to use the MXU).
+
+Block-diagonal 128x128 MXU packing is dismissible analytically: packing
+16 padded-8x8 blocks into one 128x128 tile makes the systolic array
+execute 128^3 = 2.1 MMACs to produce 16 * 7^2*7 = 5.5k useful MACs —
+0.26% utilization, two orders below what the lane layout already achieves
+on the VPU. (A denser rearrangement — batch on one contraction side —
+is exactly what XLA's batched dot emits; that is case 1a.)
+
+Run: ``python -m ad_mpc_tpu.experiments.mxu_riccati`` (uses the default
+accelerator; ~2 min including compiles).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _time(fn, *args, reps=200):
+    out = jax.block_until_ready(fn(*args))
+    tic = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - tic) / reps, out
+
+
+def micro(batch=16384, nx=7, chain=12, seed=0):
+    """Chained batched matmul X <- A @ X (the Riccati inner op shape)."""
+    rng = np.random.default_rng(seed)
+    # Strictly contractive A (spectral norm < ~0.5) keeps the chained
+    # numerically bounded so the f32 association-order difference between
+    # the two layouts stays at machine-epsilon scale.
+    A = jnp.asarray(
+        0.18 * rng.normal(0, 1, (batch, nx, nx)).astype(np.float32)
+    )
+    X = jnp.asarray(rng.normal(0, 1, (batch, nx, nx)).astype(np.float32))
+    flops = 2 * batch * nx**3 * chain
+
+    def make_xla_chain(precision):
+        @jax.jit
+        def xla_chain(A, X):
+            def body(X, _):
+                return jnp.einsum(
+                    "bij,bjk->bik", A, X, precision=precision
+                ), None
+            X, _ = jax.lax.scan(body, X, None, length=chain)
+            return X
+        return xla_chain
+
+    # Lane layout: entries on the leading axis, batch on lanes; the matmul
+    # unrolls to nx^2 fused multiply-add rows (the production kernel's
+    # formulation).
+    def kernel(a_ref, x_ref, o_ref, *, nx, chain):
+        a = a_ref[...]
+        x = x_ref[...]
+        for _ in range(chain):
+            rows = []
+            for i in range(nx):
+                for k in range(nx):
+                    acc = a[i * nx] * x[k]
+                    for j in range(1, nx):
+                        acc += a[i * nx + j] * x[j * nx + k]
+                    rows.append(acc)
+            x = jnp.stack(rows)
+        o_ref[...] = x
+
+    def lane_chain_build(A, X, block=512):
+        At = A.reshape(batch, nx * nx).T.reshape(nx * nx, batch)
+        Xt = X.reshape(batch, nx * nx).T.reshape(nx * nx, batch)
+        spec = lambda: pl.BlockSpec(
+            (nx * nx, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(kernel, nx=nx, chain=chain),
+            grid=(batch // block,),
+            in_specs=[spec(), spec()],
+            out_specs=spec(),
+            out_shape=jax.ShapeDtypeStruct((nx * nx, batch), jnp.float32),
+            interpret=jax.devices()[0].platform != "tpu",
+        )(At, Xt)
+        return out.T.reshape(batch, nx, nx)
+
+    lane_chain = jax.jit(lane_chain_build)
+
+    # Two XLA variants: 'default' lets the MXU run bf16 passes (NOT
+    # solver-grade: the IPM/Riccati requires matmul_precision='highest',
+    # ocp/spec.py); 'highest' is the apples-to-apples f32 comparison.
+    t_xla_bf16, _ = _time(make_xla_chain("default"), A, X)
+    t_xla_f32, o1 = _time(make_xla_chain("highest"), A, X)
+    t_lane, o2 = _time(lane_chain, A, X)
+    scale = float(jnp.max(jnp.abs(o1))) + 1e-12
+    err = float(jnp.max(jnp.abs(o1 - o2))) / scale
+    # FMA-peak reference: 8x128 lanes x 4 ALUs x 0.94 GHz x 2 (FMA).
+    vpu_fma_peak = 7.7e12
+    return {
+        "batch": batch, "nx": nx, "chain": chain, "flops": flops,
+        "xla_dot_bf16_ms": round(1e3 * t_xla_bf16, 3),
+        "xla_dot_bf16_gflops": round(flops / t_xla_bf16 / 1e9, 1),
+        "xla_dot_f32_ms": round(1e3 * t_xla_f32, 3),
+        "xla_dot_f32_gflops": round(flops / t_xla_f32 / 1e9, 1),
+        "pallas_lane_ms": round(1e3 * t_lane, 3),
+        "pallas_lane_gflops": round(flops / t_lane / 1e9, 1),
+        "pallas_lane_pct_vpu_fma_peak": round(
+            100 * flops / t_lane / vpu_fma_peak, 1
+        ),
+        "max_rel_diff_vs_f32": err,
+    }
+
+
+def macro(batch=4096):
+    """Full production QP comparison: c2 tick, Pallas lane IPM vs XLA IPM."""
+    import bench
+
+    switch_on = lambda v, k, e: np.array([1.0], np.float32)
+    out = {}
+    for backend in ("pallas", "xla"):
+        tick, init, solver, _ = bench.build_fleet(
+            bench.dynamic_bicycle, switch_on, backend=backend
+        )
+        r, _ = bench.run_config(tick, init, batch, ticks=10, warmup=5)
+        out[backend] = {
+            "solves_per_s": round(r["solves_per_s"], 0),
+            "kkt_max": r["kkt_max"],
+        }
+    return out
+
+
+def main():
+    import json
+
+    dev = jax.devices()[0]
+    res = {
+        "device": f"{dev.platform} {dev.device_kind}",
+        "micro": micro(),
+        "macro_c2_b4096": macro(),
+    }
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+    main()

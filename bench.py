@@ -778,6 +778,22 @@ def main():
 
     guarded("deployment_loop", run_deploy)
 
+    # ---- MXU-vs-VPU micro measurement (VERDICT r3 #4): the Riccati inner
+    # op in XLA's best MXU-shaped mapping vs the lane-layout kernel. The
+    # full macro comparison (whole QP, both backends) is the committed run
+    # quoted in docs/SOLVER.md §MXU (the XLA macro at b4096 is minutes-slow
+    # by its nature — that IS the result — so it is not re-run every bench).
+    def run_mxu():
+        from ad_mpc_tpu.experiments.mxu_riccati import micro
+
+        detail["mxu_riccati_micro"] = micro()
+        m = detail["mxu_riccati_micro"]
+        log(f"# mxu micro: lane {m['pallas_lane_gflops']} GFLOP/s "
+            f"({m['pallas_lane_pct_vpu_fma_peak']}% of VPU FMA peak) vs "
+            f"XLA batched-dot {m['xla_batched_dot_gflops']} GFLOP/s")
+
+    guarded("mxu_riccati", run_mxu)
+
     # ---- roofline annotation (VERDICT r3 #4)
     annotate_roofline(detail)
 
