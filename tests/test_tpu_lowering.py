@@ -59,6 +59,9 @@ DYNAMICS = [
      7, 2, 1, True),
     ("gp_bicycle", None, 7, 2, 1, True),  # built lazily (imports bench)
     ("gp_quad_lane", None, 13, 4, 0, True),  # lazily (imports experiments)
+    # parameter-routed GP: selected-cluster params ride the p vector
+    # (p_dim = gp_param_dim), gathered outside the kernel (learned/lane.py)
+    ("gp_quad_param", None, 13, 4, 399, True),
     ("pacejka", lambda x, u, p: pacejka_dynamics_p(x, u, p, _PP),
      7, 2, 5, True),
     ("quad", lambda x, u, p: quad_dynamics(x, u, _QP), 13, 4, 0, False),
@@ -82,12 +85,25 @@ def _gp_quad_lane():
     return f3
 
 
+def _gp_quad_param():
+    from ad_mpc_tpu.experiments.quad_fleet import make_quad_gp_ensemble
+    from ad_mpc_tpu.learned.lane import param_residual_dynamics
+
+    ens = make_quad_gp_ensemble()
+    base = lambda x, u, p: quad_dynamics_lane(x, u, p, _QP)
+    f3, p_dim, _ = param_residual_dynamics(ens, base, 0, quad_frame=True)
+    assert p_dim == 399, p_dim  # keep the DYNAMICS row in sync
+    return f3
+
+
 def _resolve(name, f3):
     if name == "gp_bicycle":
         gp = _gp_bicycle()
         return lambda x, u, p: gp(x, u, p)
     if name == "gp_quad_lane":
         return _gp_quad_lane()
+    if name == "gp_quad_param":
+        return _gp_quad_param()
     return f3
 
 
