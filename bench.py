@@ -790,7 +790,8 @@ def main():
         m = detail["mxu_riccati_micro"]
         log(f"# mxu micro: lane {m['pallas_lane_gflops']} GFLOP/s "
             f"({m['pallas_lane_pct_vpu_fma_peak']}% of VPU FMA peak) vs "
-            f"XLA batched-dot {m['xla_batched_dot_gflops']} GFLOP/s")
+            f"XLA dot f32 {m['xla_dot_f32_gflops']} / bf16 "
+            f"{m['xla_dot_bf16_gflops']} GFLOP/s")
 
     guarded("mxu_riccati", run_mxu)
 
