@@ -402,12 +402,13 @@ class BatchedSQPSolver:
             self._qp = qp_xla
 
         if self.vde == "pallas":
-            from ad_mpc_tpu.ops.pallas_vde import make_vde
+            from ad_mpc_tpu.ops.pallas_vde import auto_block_n, make_vde
 
             self._lin = make_vde(
                 f3, spec.dt, N, spec.nx, spec.nu, p_dim,
                 rk4_steps=spec.rk4_steps, block_b=block_b,
                 interpret=(not on_tpu) if interpret is None else interpret,
+                block_n=auto_block_n(f3, spec.nx, spec.nu, p_dim, N),
             )
         else:
             self._lin = jax.vmap(

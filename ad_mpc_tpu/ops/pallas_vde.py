@@ -180,13 +180,47 @@ def _vde_kernel(
     c_ref[...] = x_next - xhi_ref[...]
 
 
+# Dynamics whose jaxpr has more equations than this get one-sublane-tile
+# stage blocks (see auto_block_n); leaner dynamics keep full-horizon slabs.
+# Measured anchors (r4, slab avals): bicycle 95, quad 127, Pacejka 237 —
+# all compile AND run faster full-slab at N=30; the 32-point GP models
+# (1343/1693) kill the full-slab compile. 500 splits the gap.
+COMPLEX_DYN_EQNS = 500
 DEFAULT_BLOCK_N = 8
+
+
+def auto_block_n(f, nx: int, nu: int, p_dim: int, N: int) -> int | None:
+    """Stage-block policy, measured both ways (round 4):
+
+    - *lean* dynamics (bicycle ~40 eqns, Pacejka ~100, quad ~70): one
+      program over the full horizon wins — stage-blocking the Pacejka
+      fleet cost 2x (VDE-heavy config; 4x the grid programs, each paying
+      pipeline ramp on the same operands);
+    - *residual-heavy* dynamics (the unrolled 32-point GP mean: many
+      hundreds of equations): full-horizon N=30 slabs blow the Mosaic
+      register allocator past the scoped-VMEM limit and the compile dies —
+      one sublane tile (8 stages) per program keeps the live set bounded.
+
+    The discriminator is the equation count of the dynamics' jaxpr on slab
+    avals — deterministic, cheap, and monotone in the register pressure
+    that actually kills the compile.
+    """
+    try:
+        jaxpr = jax.make_jaxpr(f)(
+            jax.ShapeDtypeStruct((nx, 4, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nu, 4, 8), jnp.float32),
+            jax.ShapeDtypeStruct((max(p_dim, 1), 4, 8), jnp.float32),
+        )
+        n_eqns = len(jaxpr.jaxpr.eqns)
+    except Exception:
+        n_eqns = COMPLEX_DYN_EQNS + 1  # opaque -> be conservative
+    return DEFAULT_BLOCK_N if n_eqns > COMPLEX_DYN_EQNS else None
 
 
 def make_vde(
     f, dt, N, nx, nu, p_dim,
     rk4_steps: int = 1, block_b: int = LANES, interpret: bool = False,
-    mode: str = "linearize", block_n: int = DEFAULT_BLOCK_N,
+    mode: str = "linearize", block_n=None,
 ):
     """Build the batched fused linearization sweep.
 
@@ -196,13 +230,10 @@ def make_vde(
     (per-basis fused primal+tangent; smaller live set for residual-heavy
     dynamics — see ``_vde_kernel``).
 
-    ``block_n``: stages per kernel program. Stage linearizations are
-    independent, so the horizon blocks onto the grid like the batch; the
-    default of one sublane tile (8) keeps every in-kernel value a single
-    vector register per lane group — at full-horizon slabs (N=30) a
-    residual-heavy dynamics (the 32-point GP mean) was observed to blow the
-    Mosaic register allocator past the scoped-VMEM limit and kill the
-    compile outright.
+    ``block_n``: stages per kernel program, or None for the full horizon.
+    Stage linearizations are independent, so the horizon can block onto
+    the grid like the batch; see :func:`auto_block_n` for the measured
+    trade and the policy callers should use.
 
     Returns ``linearize(xs, us, ps)`` with batch-FIRST shapes — xs
     (B, N+1, nx), us (B, N, nu), ps (B, p_dim) — producing
@@ -210,7 +241,7 @@ def make_vde(
     vmapped :func:`ad_mpc_tpu.ops.integrators.linearize`.
     """
     pd = max(p_dim, 1)
-    Nt = int(min(block_n, N))
+    Nt = N if block_n is None else int(min(block_n, N))
     n_pad = (-N) % Nt
     Np = N + n_pad
     kern = functools.partial(
