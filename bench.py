@@ -696,7 +696,7 @@ def main():
         tick_q, init_q, solver_q, _ = build_quad_fleet()
         rows = {}
         carry_q = None
-        for b in (256, 1024, 4096):
+        for b in (256, 1024, 4096, 16384):
             rows[b], c_ = run_config(tick_q, init_q, b, warmup=20)
             rows[b]["vde_backend"] = solver_q.vde
             detail["configs"][f"c5_quad_b{b}"] = rows[b]
@@ -728,16 +728,16 @@ def main():
             ensemble=make_quad_gp_ensemble()
         )
         rows = {}
-        for b in (256, 1024, 4096):
+        for b in (256, 1024, 4096, 16384):
             rows[b], _ = run_config(tick_g, init_g, b, warmup=20)
             rows[b]["vde_backend"] = solver_g.vde
             detail["configs"][f"c6_gp_quad_b{b}"] = rows[b]
         log(f"# c6 GP-quad N=10 (vde={solver_g.vde}): "
             + " ".join(f"b{b} {r['solves_per_s']:.0f}/s"
                        for b, r in rows.items())
-            + f" kkt mean={rows[4096]['kkt_mean']:.2e} "
-            f"max={rows[4096]['kkt_max']:.2e} "
-            f"lat_err={rows[4096]['lat_err_mean_m']:.3f} m")
+            + f" kkt mean={rows[16384]['kkt_mean']:.2e} "
+            f"max={rows[16384]['kkt_max']:.2e} "
+            f"lat_err={rows[16384]['lat_err_mean_m']:.3f} m")
 
     guarded("c6_gp_quad", run_c6)
 
