@@ -48,9 +48,15 @@ def run_deployment_loop(
     n_nodes: int = 20,
     base_port: int = 49500,
     v_target: float = 8.0,
+    pipelined: bool = False,
 ) -> dict:
     """Drive the two-node stack for ``ticks`` control periods; returns the
-    artifact dict (merged into BENCH_DETAIL.json by ``bench.py``)."""
+    artifact dict (merged into BENCH_DETAIL.json by ``bench.py``).
+
+    ``pipelined``: run the controller's one-slot actuation pipeline (solve
+    dispatched async, results fetched off the critical path) — the mode
+    that holds the 20 ms period even when the accelerator link RTT is of
+    period order."""
     import threading
 
     import jax
@@ -63,6 +69,7 @@ def run_deployment_loop(
         arming_threshold=5,
         state_port=base_port, control_port=base_port + 1,
         waypoint_port=base_port + 2, status_port=base_port + 3,
+        pipelined=pipelined,
     )
     sim = SimNode(
         rate_hz=rate_hz, v_target=v_target,
@@ -95,6 +102,7 @@ def run_deployment_loop(
         "ticks": int(len(tick_ms)),
         "rate_hz": rate_hz,
         "budget_ms": budget_ms,
+        "pipelined": pipelined,
         "wall_s": round(wall, 1),
         "solver_platform": solver_platform,
         "tick_p50_ms": float(np.percentile(tick_ms, 50)) if len(tick_ms) else None,
@@ -122,8 +130,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ticks", type=int, default=600)
     ap.add_argument("--rate", type=float, default=50.0)
+    ap.add_argument("--pipelined", action="store_true")
     args = ap.parse_args()
-    print(json.dumps(run_deployment_loop(args.ticks, args.rate), indent=1))
+    print(json.dumps(
+        run_deployment_loop(args.ticks, args.rate,
+                            pipelined=args.pipelined),
+        indent=1,
+    ))
 
 
 if __name__ == "__main__":

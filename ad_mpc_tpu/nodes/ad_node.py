@@ -39,7 +39,18 @@ class ADControllerNode:
         control_port: int = topics.CONTROL_PORT,
         waypoint_port: int = topics.WAYPOINT_PORT,
         status_port: int = topics.STATUS_PORT,
+        pipelined: bool = False,
     ):
+        """``pipelined=True`` decouples the control loop from the
+        accelerator link: each tick DISPATCHES the (async) fused solve and
+        publishes the most recent completed command, while a background
+        thread drains result fetches. Actuation lags by one pipeline slot
+        (solve + link latency, typically one control period), but the loop
+        itself never blocks on the link — the standard way to hold a 20 ms
+        period when solve+transport is of period order. The reference
+        *intended* exactly this with its per-solve mpc_thread but
+        constructed it synchronously (``threading.Thread(target=f())`` —
+        SURVEY.md §2.6 task-parallelism row); here the overlap is real."""
         spec = bicycle_spec(t_horizon=t_horizon, n_nodes=n_nodes,
                             qp_iters=qp_iters)
         self.mpc = BicycleMPC(spec=spec)
@@ -69,6 +80,18 @@ class ADControllerNode:
         self._fstate = None
         self._prev_us = None
         self._have_prev = None
+        # Pipelined mode: background result-fetch thread + latest slot.
+        self.pipelined = pipelined
+        self._fetch_q = None
+        self._latest = None
+        self._latest_lock = threading.Lock()
+        if pipelined:
+            import queue
+
+            self._fetch_q = queue.Queue(maxsize=8)
+            t = threading.Thread(target=self._fetch_loop, daemon=True)
+            t.start()
+            self._rx_threads.append(t)
 
     # ---------------------------------------------------------- I/O threads
 
@@ -77,6 +100,22 @@ class ADControllerNode:
             msg = sub.receive(timeout_ms=50)
             if msg is not None:
                 queue.push(*msg)
+
+    def _fetch_loop(self):
+        """Drain dispatched results: device fetches happen HERE, off the
+        control loop's critical path (each blocks one link round trip)."""
+        import queue
+
+        import jax
+
+        while not self._stop.is_set():
+            try:
+                out = self._fetch_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            out_np = jax.device_get(out)
+            with self._latest_lock:
+                self._latest = out_np
 
     def start_io(self):
         for sub, q in ((self.state_sub, self.state_q),
@@ -125,9 +164,22 @@ class ADControllerNode:
         out, self._fstate, self._prev_us, self._have_prev = self._fused(
             packed, self._fstate, self._prev_us, self._have_prev
         )
-        out_np = jax.device_get(out)
-        cmd_np, healthy_b = out_np[:3], out_np[3] > 0.5
         self.n_solves += 1
+        if self.pipelined:
+            # Enqueue this tick's result for the fetch thread; publish the
+            # newest COMPLETED command (one-slot actuation pipeline).
+            try:
+                self._fetch_q.put_nowait(out)
+            except Exception:
+                pass  # fetcher saturated: skip enqueue, keep last result
+            with self._latest_lock:
+                out_np = self._latest
+            if out_np is None:
+                self.n_unsafe += 1
+                return np.array([-1e5, 0.0, float(x[6])], np.float32)
+        else:
+            out_np = jax.device_get(out)
+        cmd_np, healthy_b = out_np[:3], out_np[3] > 0.5
 
         armed = self.gate.update(bool(healthy_b))
         if not armed:
@@ -155,10 +207,23 @@ class ADControllerNode:
         x = np.zeros(7)
         x[3] = 5.0
         self.control_tick(x)
+        if self.pipelined:
+            # Make sure the warmup result is drained, then clear it so the
+            # real loop starts from a clean pipeline.
+            import time as _time
+
+            for _ in range(50):
+                with self._latest_lock:
+                    got = self._latest is not None
+                if got or self._stop.is_set():
+                    break
+                _time.sleep(0.05)
         self.mpc.reset()
         self._fstate = None
         self._prev_us = None
         self._have_prev = None
+        with self._latest_lock:
+            self._latest = None
         self.ref_gen._path = None
         self.gate.count = 0
         self.n_solves = 0

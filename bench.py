@@ -775,6 +775,16 @@ def main():
             f"(link floor {dep['host_link_floor_p50_ms']:.1f}ms, "
             f"tick-minus-link {dep.get('tick_p50_minus_link_ms')}ms) "
             f"rmse={dep['tracking_rmse_m']:.3f}m")
+        # Pipelined mode: the one-slot actuation pipeline that holds the
+        # 20 ms period regardless of link latency (ad_node pipelined=True).
+        depp = run_deployment_loop(ticks=400, base_port=49520,
+                                   pipelined=True)
+        detail["deployment_loop_50hz_pipelined"] = depp
+        log(f"# deployment loop 50Hz PIPELINED: "
+            f"tick p50={depp['tick_p50_ms']:.2f}ms "
+            f"p99={depp['tick_p99_ms']:.1f}ms "
+            f"missed {depp['missed_deadlines']}/{depp['ticks']} "
+            f"rmse={depp['tracking_rmse_m']:.3f}m")
 
     guarded("deployment_loop", run_deploy)
 

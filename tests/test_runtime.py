@@ -99,6 +99,45 @@ class TestRate:
 
 
 @pytest.mark.slow
+def test_two_node_closed_loop_pipelined():
+    """Pipelined controller (async dispatch + background result fetch):
+    the loop must keep publishing every period and still track, with
+    commands one pipeline slot stale."""
+    from ad_mpc_tpu.nodes.ad_node import ADControllerNode
+    from ad_mpc_tpu.nodes.sim_node import SimNode
+
+    base = 49400
+    ctrl = ADControllerNode(
+        rate_hz=50.0, n_nodes=10, t_horizon=0.5, arming_threshold=2,
+        qp_iters=8, pipelined=True,
+        state_port=base, control_port=base + 1, waypoint_port=base + 2,
+        status_port=base + 3,
+    )
+    sim = SimNode(
+        rate_hz=50.0, v_target=6.0,
+        state_port=base, control_port=base + 1, waypoint_port=base + 2,
+    )
+    ctrl.warmup()
+    sim.warmup()
+    t_ctrl = threading.Thread(
+        target=ctrl.run, kwargs={"max_ticks": 120, "warmup": False}
+    )
+    t_sim = threading.Thread(
+        target=sim.run, kwargs={"max_ticks": 120, "warmup": False}
+    )
+    t_ctrl.start(); t_sim.start()
+    t_ctrl.join(timeout=120)
+    ctrl.stop()
+    t_sim.join(timeout=60)
+
+    assert ctrl.n_solves > 50
+    rmse = sim.tracking_rmse()
+    assert rmse < 1.0, f"pipelined two-node loop diverged: RMSE {rmse}"
+    s = np.stack(sim.states)
+    assert s[-1, 0] - s[0, 0] > 3.0
+
+
+@pytest.mark.slow
 def test_two_node_closed_loop():
     """Full multi-process-style stack in two threads: sim node + controller
     node over the UDP bridge, tracking the oval."""
