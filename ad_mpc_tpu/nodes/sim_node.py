@@ -125,14 +125,27 @@ def main():
     ap.add_argument("--v", type=float, default=8.0)
     ap.add_argument("--ticks", type=int, default=None)
     ap.add_argument("--noisy", action="store_true")
+    ap.add_argument(
+        "--base-port", type=int, default=None,
+        help="use ports base, base+1, base+2 for state/control/waypoints "
+        "(foreign-process wiring; default: the topics.py well-known ports)",
+    )
     add_platform_arg(ap)
     args = ap.parse_args()
     apply_platform_arg(args)
 
+    ports = {}
+    if args.base_port is not None:
+        ports = dict(
+            state_port=args.base_port,
+            control_port=args.base_port + 1,
+            waypoint_port=args.base_port + 2,
+        )
     node = SimNode(
         rate_hz=args.rate,
         v_target=args.v,
         disturbances=DisturbanceConfig(noisy=args.noisy),
+        **ports,
     )
     try:
         node.run(max_ticks=args.ticks)

@@ -5,17 +5,25 @@ Prints ONE JSON line:
    "vs_baseline": r}
 and writes per-config detail to BENCH_DETAIL.json.
 
-Configs (BASELINE.json):
+Configs (BASELINE.json), each swept over a batch ladder to its knee:
   2. dynamic bicycle, linear tire, N=30 — the DYNAMIC branch is driven
      explicitly (switch=1), not via the blend speeds (the reference's
      blend_min=100 m/s would silently select the kinematic branch at road
-     speeds, ``ad_3d.py:62-64``); batch 256 (BASELINE) and 1024 (headline).
+     speeds, ``ad_3d.py:62-64``). Headline = best c2 row.
   3. GP-augmented dynamic bicycle: GP residual on the lateral dynamics
-     (v_y_dot, psi_ddot), batched GP inference fused into the rollout, N=30.
+     (v_y_dot, psi_ddot), the SE mean fused INSIDE the Pallas VDE kernel
+     (learned/lane.py), N=30.
   4. Pacejka magic formula + road topography: 4096-scenario friction /
      pitch / roll sweep, one compiled program (per-scenario p vector).
-  1 is the CPU offline loop (``experiments/ad_closed_loop.py``); 5 (multi-
-     host) is covered by ``dryrun_multichip`` + ``parallel/multihost.py``.
+  5. quadrotor fleet at the reference dims (N=10, nx=13, nu=4) + its
+     RTI-vs-converged u0 gate.
+  6. GP-augmented quadrotor fleet (the reference's RA-L flagship), GP
+     fused in-kernel.
+  (1 is the CPU offline loop, ``experiments/ad_closed_loop.py``; multi-
+  host is covered by ``dryrun_multichip`` + ``parallel/multihost.py``.)
+Plus: device-resident single-solve latency, BOTH deployment-loop modes
+(blocking and pipelined; ``experiments/deployment_loop.py``), and the
+MXU-vs-VPU micro row (``experiments/mxu_riccati.py``).
 
 Every tick is the full closed-loop unit of work: build the reference window
 on-device, one SQP-RTI solve per scenario, advance the plant by the applied

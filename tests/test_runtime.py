@@ -1,5 +1,6 @@
 """Native runtime bridge tests: SPSC queue, UDP pub/sub, rate timer."""
 
+import os
 import threading
 import time
 
@@ -96,6 +97,60 @@ class TestRate:
         assert 0.08 < elapsed < 0.25  # ~0.1 s nominal, generous upper bound
         stats = timer.jitter_stats()
         assert stats["p50_ms"] < 5.0
+
+
+@pytest.mark.slow
+def test_two_process_closed_loop():
+    """FOREIGN-process closed loop: the plant simulator runs as a separate
+    OS process (`python -m ad_mpc_tpu.nodes.sim_node`) speaking only the
+    UDP message codec — the CARLA/Gazebo-process role of the reference
+    stack (`gp_ad_mpc_node.py:115-143`). Validates that the transport layer
+    carries a real cross-process control loop, not just threads."""
+    import subprocess
+    import sys
+
+    from ad_mpc_tpu.nodes.ad_node import ADControllerNode
+
+    base = 49360
+    ctrl = ADControllerNode(
+        rate_hz=50.0, n_nodes=10, t_horizon=0.5, arming_threshold=2,
+        qp_iters=8,
+        state_port=base, control_port=base + 1, waypoint_port=base + 2,
+        status_port=base + 3,
+    )
+    ctrl.warmup()
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ad_mpc_tpu.nodes.sim_node",
+         "--ticks", "160", "--v", "6.0", "--base-port", str(base)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    # The foreign process pays its own jax-import/compile latency before it
+    # starts publishing; run the controller until it has actually heard
+    # enough of the sim's 160 ticks, then stop it.
+    t_ctrl = threading.Thread(
+        target=ctrl.run, kwargs={"max_ticks": None, "warmup": False}
+    )
+    t_ctrl.start()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and ctrl.n_solves < 60:
+            if proc.poll() is not None:
+                break  # sim finished its ticks
+            time.sleep(0.2)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        ctrl.stop()
+        t_ctrl.join(timeout=30)
+    assert proc.returncode == 0, out[-800:]
+    assert ctrl.n_solves > 50, "controller never heard the foreign process"
+    # The sim process prints its own tracking RMSE on exit.
+    import re
+
+    m = re.search(r"sim RMSE vs track: ([0-9.]+) m", out)
+    assert m, out[-800:]
+    assert float(m.group(1)) < 1.0, out[-800:]
 
 
 @pytest.mark.slow
