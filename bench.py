@@ -318,6 +318,20 @@ def run_config(tick, init, batch, ticks=20, warmup=5, seed=0, notes=None):
         carry, (kkt, lat) = tick(carry)
     jax.block_until_ready(kkt)
     dt = time.perf_counter() - tic
+    if dt / ticks < 5e-4:
+        # Implausible: no full fleet solve completes in <0.5 ms/tick (the
+        # b=1 device-resident tick alone is ~0.7 ms). Observed once through
+        # the tunneled runtime: the async dispatch chain resolved without
+        # actually serializing on device work, yielding a nonsense 3e8
+        # solves/s row. Re-measure with a per-tick blocking loop — slower
+        # but unfakeable.
+        tic = time.perf_counter()
+        for _ in range(ticks):
+            carry, (kkt, lat) = tick(carry)
+            jax.block_until_ready(kkt)
+        dt = time.perf_counter() - tic
+        notes = ((notes + "; ") if notes else "") + \
+            "async timing implausible -> re-measured per-tick blocking"
     row = {
         "solves_per_s": batch * ticks / dt,
         "kkt_mean": float(jnp.mean(kkt)),
