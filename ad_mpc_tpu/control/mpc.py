@@ -132,9 +132,6 @@ class BicycleMPC:
                 self._prev_us = us
         return us, xs, ok
 
-    def reset(self):
-        self.state = None
-
     def make_fused_step(self):
         """One-device-call controller step for deployment nodes: solve +
         RTI shift + plausibility gate (``is_valid_command``) + predicted-
@@ -188,6 +185,9 @@ class BicycleMPC:
             return out, new_state, us_out, have_prev | ok
 
         return step
+
+    def reset(self):
+        self.state = None
         self._prev_us = None
 
 

@@ -105,7 +105,7 @@ def _one_hot_rows(n, j, shape, dtype=jnp.float32):
 
 def _vde_kernel(
     xlo_ref, xhi_ref, u_ref, p_ref, a_ref, b_ref, c_ref,
-    *, f, dt, rk4_steps, nx, nu, mode="linearize",
+    *, f, dt, rk4_steps, nx, nu,
 ):
     """One (stage-block, batch-block) program: primal RK4 + nx+nu tangent
     sweeps for a block of stages at once (stages on the sublane axis).
@@ -137,38 +137,19 @@ def _vde_kernel(
     tail = x.shape[1:]
     zero_u = jnp.zeros_like(u)
     zero_x = jnp.zeros_like(x)
-    if mode == "linearize":
-        # One primal evaluation + a reusable linear (tangent) map: the VDE
-        # for every stage of the block simultaneously.
-        x_next, lin = jax.linearize(rk4_map, x, u)
-        a_cols = [
-            lin(_one_hot_rows(nx, j, tail, x.dtype), zero_u)
-            for j in range(nx)
-        ]
-        b_cols = [
-            lin(zero_x, _one_hot_rows(nu, j, tail, u.dtype))
-            for j in range(nu)
-        ]
-    else:
-        # mode == "jvp": one fused primal+tangent pass per basis vector.
-        # ~nx+nu redundant primal evaluations, but NO long-lived linearize
-        # residuals — with residual-heavy dynamics (the unrolled GP mean:
-        # hundreds of exp intermediates that `linearize` keeps live across
-        # every tangent sweep) the Mosaic register allocator otherwise
-        # spills past the scoped-VMEM limit and the compile dies (observed
-        # at N=30, block 128, 32-point GP). jvp interleaves primal and
-        # tangent, so the live set stays O(dynamics depth).
-        x_next = rk4_map(x, u)
-        a_cols = [
-            jax.jvp(rk4_map, (x, u),
-                    (_one_hot_rows(nx, j, tail, x.dtype), zero_u))[1]
-            for j in range(nx)
-        ]
-        b_cols = [
-            jax.jvp(rk4_map, (x, u),
-                    (zero_x, _one_hot_rows(nu, j, tail, u.dtype)))[1]
-            for j in range(nu)
-        ]
+    # One primal evaluation + a reusable linear (tangent) map: the VDE
+    # for every stage of the block simultaneously. Register pressure from
+    # residual-heavy dynamics (the unrolled GP mean) is handled by stage
+    # blocking (auto_block_n), which bounds the live set per program.
+    x_next, lin = jax.linearize(rk4_map, x, u)
+    a_cols = [
+        lin(_one_hot_rows(nx, j, tail, x.dtype), zero_u)
+        for j in range(nx)
+    ]
+    b_cols = [
+        lin(zero_x, _one_hot_rows(nu, j, tail, u.dtype))
+        for j in range(nu)
+    ]
 
     # Row i*n + j holds dF_i/dv_j (column j of the Jacobian, entry i).
     a_ref[...] = jnp.stack(
@@ -220,15 +201,11 @@ def auto_block_n(f, nx: int, nu: int, p_dim: int, N: int) -> int | None:
 def make_vde(
     f, dt, N, nx, nu, p_dim,
     rk4_steps: int = 1, block_b: int = LANES, interpret: bool = False,
-    mode: str = "linearize", block_n=None,
+    block_n=None,
 ):
     """Build the batched fused linearization sweep.
 
     ``f(x, u, p)``: lane-polymorphic continuous dynamics (see module doc).
-
-    ``mode``: 'linearize' (one primal + reusable tangent map) or 'jvp'
-    (per-basis fused primal+tangent; smaller live set for residual-heavy
-    dynamics — see ``_vde_kernel``).
 
     ``block_n``: stages per kernel program, or None for the full horizon.
     Stage linearizations are independent, so the horizon can block onto
@@ -247,7 +224,6 @@ def make_vde(
     kern = functools.partial(
         _vde_kernel,
         f=f, dt=float(dt), rk4_steps=rk4_steps, nx=nx, nu=nu,
-        mode=mode,
     )
 
     def linearize(xs, us, ps):

@@ -543,18 +543,22 @@ def sync_scaling_md(repo_dir, detail):
     BENCH_DETAIL.json at the same SHA). The line is replaced wholesale, so
     drift is structurally impossible as long as bench is the only writer."""
     path = os.path.join(repo_dir, "SCALING.md")
+    # Headline restricted to the documented c2 family (N=30 bicycle on the
+    # fused Pallas path): quad N=10 rows do ~10x less work per solve, so a
+    # cross-family max would silently compare incomparables (ADVICE r4).
     try:
         best_name, best = max(
             ((k, v) for k, v in detail["configs"].items()
-             if "solves_per_s" in v),
+             if "solves_per_s" in v and k.startswith("c2_")),
             key=lambda kv: kv[1]["solves_per_s"],
         )
     except ValueError:
         return
+    backend = best.get("vde_backend", "pallas")
     line = (
         f"- `{detail['device']}` @ `{detail['git_sha'][:12]}`: "
-        f"**{best['solves_per_s']:,.0f} solves/s** ({best_name}, "
-        f"fused Pallas QP+VDE; auto-synced from BENCH_DETAIL.json)\n"
+        f"**{best['solves_per_s']:,.0f} solves/s** ({best_name}, N=30 "
+        f"bicycle, vde={backend}; auto-synced from BENCH_DETAIL.json)\n"
     )
     try:
         with open(path) as f:
