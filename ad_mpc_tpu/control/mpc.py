@@ -248,6 +248,7 @@ class QuadMPC:
         self.spec = spec if spec is not None else quad_spec()
         self.ensemble = ensemble
         self.last_cluster = None
+        self.n_resets = 0  # solver-health resets (observability)
 
         if ensemble is not None:
             from ad_mpc_tpu.learned.ensemble import (
@@ -316,6 +317,20 @@ class QuadMPC:
         x0 = jnp.asarray(x0)
         if self.state is None:
             self.state = self.solver.init_state(x0)
+        else:
+            # RTI manifold retraction: project the warm-start quaternions
+            # back to unit norm before linearizing. The OCP treats q as 4
+            # generic states (as ACADOS does); on aggressive references the
+            # iterate's quaternion norm can drift far off the manifold
+            # (observed: ||q|| -> 3.5 on random min-snap flights), where
+            # the linearized dynamics become violent enough to NaN the QP.
+            # The quaternion-norm cost weight alone (quad_3d_optimizer
+            # .py:139) does not bound the drift at RTI=1 iteration.
+            qs = self.state.xs[:, 3:7]
+            qs = qs / jnp.linalg.norm(qs, axis=1, keepdims=True)
+            self.state = self.state._replace(
+                xs=self.state.xs.at[:, 3:7].set(qs)
+            )
 
         if self.ensemble is None:
             params = jnp.zeros((0,))
@@ -348,6 +363,21 @@ class QuadMPC:
         res = self.solver.solve(
             x0, self._yref_x, self._yref_u, params, self.state
         )
+        # Solver-health watchdog (the reference resets its optimizer on
+        # infeasibility, gp_ad_mpc_node.py:154-158, 206-208): a non-finite
+        # or physically implausible iterate (observed: RTI divergence to
+        # |v| ~ 8e4 m/s under a misextrapolating RDRv model on aggressive
+        # random flights) would poison every later warm start. Reset the
+        # RTI iterate to the current state and re-solve once.
+        bad = (not bool(jnp.all(jnp.isfinite(res.xs)))) or float(
+            jnp.max(jnp.abs(res.xs[:, 7:10]))
+        ) > 100.0
+        if bad:
+            self.n_resets += 1
+            self.state = self.solver.init_state(x0)
+            res = self.solver.solve(
+                x0, self._yref_x, self._yref_u, params, self.state
+            )
         self.state = self.solver.shift(res.state)
         return res.us, res.xs
 

@@ -1,0 +1,229 @@
+"""Flagship learned-model experiment: record -> fit -> deploy -> compare.
+
+End-to-end reproduction of the reference's headline result — GP residual
+correction substantially reduces closed-loop tracking error under
+unmodeled drag (``data_driven_mpc/README.md:283-296``: nominal 0.204 m ->
+GP 0.095 m on the Gazebo circle) — through THIS framework's own pipeline:
+
+1. **record**: aggressive random point-to-point flights under the drag
+   disturbance suite (``experiments/record_dataset.py`` =
+   ``point_tracking_and_record.py`` role);
+2. **fit**: body-frame residual dataset -> prune -> cluster -> per-(dim,
+   cluster) GP hyperparameter fit + RDRv linear drag fit
+   (``learned/fitting.py`` = ``model_fitting/gp_fitting.py`` role), model
+   saved in the git-hash registry;
+3. **sweep**: closed-loop comparative sweep nominal vs fitted-GP vs
+   fitted-RDRv over the reference's three trajectory families x speeds
+   (``experiments/comparative.py`` = ``comparative_experiment.py:263-311``),
+   with the fitted ensemble deployed through the full QuadMPC GP mode
+   (midpoint cluster selection + node-0 trigger).
+
+Each stage caches its output under ``results/experiments/gp_flagship*/`` so
+the pipeline is resumable; ``--stage all`` runs everything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ad_mpc_tpu.utils import io
+
+
+def flag_dir(tag: str = "") -> str:
+    d = os.path.join(io.RESULTS_ROOT, "experiments", f"gp_flagship{tag}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def stage_record(tag="", n_targets=24, box=6.0, seed=0, verbose=True):
+    """Record drag-disturbed flights; cache raw tuples."""
+    from ad_mpc_tpu.experiments.record_dataset import record_flights
+    from ad_mpc_tpu.sim.simulator import DisturbanceConfig
+
+    arrays = record_flights(
+        n_targets=n_targets,
+        box=box,
+        disturbances=DisturbanceConfig(drag=True),
+        seed=seed,
+        verbose=verbose,
+    )
+    d = flag_dir(tag)
+    os.makedirs(os.path.join(d, "dataset"), exist_ok=True)
+    io.save_arrays(os.path.join(d, "dataset"), **arrays)
+    v = np.linalg.norm(arrays["x_in"][:, 7:10], axis=1)
+    meta = {
+        "n_samples": int(len(arrays["dt"])),
+        "v_mean": float(v.mean()),
+        "v_max": float(v.max()),
+    }
+    with open(os.path.join(d, "record_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return arrays, meta
+
+
+def stage_fit(tag="", n_clusters=2, n_points=40, n_restarts=3, seed=0):
+    """Fit the GP ensemble + RDRv drag matrix from the cached recording."""
+    from ad_mpc_tpu.learned.dataset import ResidualDataset
+    from ad_mpc_tpu.learned.fitting import evaluate_ensemble, fit_gp_ensemble
+    from ad_mpc_tpu.learned.rdrv import fit_rdrv
+
+    d = flag_dir(tag)
+    arrays = io.load_arrays(os.path.join(d, "dataset"))
+    ds = ResidualDataset.from_rollouts(
+        arrays["x_in"], arrays["u"], arrays["x_out"], arrays["x_pred"],
+        arrays["dt"],
+    )
+    ds = ds.prune(vel_cap=20.0, hist_thresh=1e-3, vel_idx=(7, 8, 9))
+    train, test = ds.split(test_frac=0.2, seed=seed)
+
+    ens = fit_gp_ensemble(
+        train, out_idx=(7, 8, 9), feat_idx=(7, 8, 9),
+        n_clusters=n_clusters, n_points=n_points, n_restarts=n_restarts,
+        seed=seed,
+    )
+    rdrv_d = fit_rdrv(train)
+    offline = evaluate_ensemble(ens, test)
+
+    io.save_model(ens, f"gp_flagship{tag}", metadata={
+        "n_clusters": n_clusters, "n_points": n_points, **offline,
+    })
+    np.save(os.path.join(d, "rdrv_d.npy"), rdrv_d)
+    with open(os.path.join(d, "fit_meta.json"), "w") as f:
+        json.dump({"offline_heldout": offline,
+                   "rdrv_diag": np.diag(rdrv_d).tolist()}, f, indent=1)
+    return ens, rdrv_d, offline
+
+
+def load_fitted(tag=""):
+    ens = io.load_model(f"gp_flagship{tag}")
+    rdrv_d = np.load(os.path.join(flag_dir(tag), "rdrv_d.npy"))
+    return ens, rdrv_d
+
+
+# Per-family speed axes at the feasibility-limited operating points where
+# unmodeled drag materially degrades nominal tracking (measured r5: nominal
+# RMSE under drag 0.32-0.59 m vs ideal 0.002-0.01 m at these cells; the
+# reference's own caps are loop <=14, lemniscate <=8, README.md:183-185).
+# `random` speeds are average-speed time allocations (peak ~2.2x).
+FAMILY_SPEEDS = {
+    "loop": (8.0, 10.0, 12.0),
+    "lemniscate": (6.0, 7.0, 8.0),
+    "random": (3.0, 4.0, 5.0),
+}
+
+
+def stage_sweep(
+    tag="",
+    family_speeds=None,
+    max_steps=None,
+    seed=0,
+    verbose=True,
+):
+    """Closed-loop nominal vs fitted-GP vs fitted-RDRv sweep under drag.
+
+    Runs one :func:`comparative_sweep` per trajectory family (each family
+    has its own feasible speed axis) and assembles the reference-shaped
+    (n_models, n_families, n_speeds) tensors."""
+    from ad_mpc_tpu.experiments.comparative import comparative_sweep
+    from ad_mpc_tpu.sim.simulator import DisturbanceConfig
+
+    family_speeds = family_speeds or FAMILY_SPEEDS
+    ens, rdrv_d = load_fitted(tag)
+    models = {
+        "nominal": {},
+        "gp": {"ensemble": ens},
+        "rdrv": {"rdrv_d": rdrv_d},
+    }
+    if max_steps is not None:
+        for m in models.values():
+            m["max_steps"] = max_steps
+
+    families = list(family_speeds)
+    n_speeds = len(next(iter(family_speeds.values())))
+    shape = (len(models), len(families), n_speeds)
+    rmse, t_opt, v_max = (np.zeros(shape) for _ in range(3))
+    for j, fam in enumerate(families):
+        r, t, v = comparative_sweep(
+            models,
+            traj_types=(fam,),
+            speeds=tuple(family_speeds[fam]),
+            disturbances=DisturbanceConfig(drag=True),
+            seed=seed,
+            save_name=f"gp_flagship{tag}_sweep_{fam}",
+            verbose=verbose,
+        )
+        rmse[:, j], t_opt[:, j], v_max[:, j] = r[:, 0], t[:, 0], v[:, 0]
+
+    # Headline: mean closed-loop RMSE reduction of GP (and RDRv) vs nominal.
+    summary = {
+        "families": families,
+        "speeds": {f: list(v) for f, v in family_speeds.items()},
+        "models": list(models),
+        "rmse": rmse.tolist(),
+        "t_opt_ms": t_opt.tolist(),
+        "gp_reduction_mean": float(1.0 - (rmse[1] / rmse[0]).mean()),
+        "gp_reduction_per_cell": (1.0 - rmse[1] / rmse[0]).tolist(),
+        "rdrv_reduction_mean": float(1.0 - (rmse[2] / rmse[0]).mean()),
+    }
+    with open(os.path.join(flag_dir(tag), "sweep_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    if verbose:
+        print(json.dumps({k: summary[k] for k in
+                          ("gp_reduction_mean", "rdrv_reduction_mean")}))
+    return summary
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    from ad_mpc_tpu.utils.platform import force_cpu
+
+    force_cpu()
+    # Persistent compile cache: the sweep builds one QuadMPC per cell, all
+    # with identical shapes — cache hits save ~1 min/cell of GP-dynamics
+    # XLA compiles.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(io.RESULTS_ROOT), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "record", "fit", "sweep"])
+    ap.add_argument("--tag", default="")
+    ap.add_argument("--targets", type=int, default=24)
+    ap.add_argument("--clusters", type=int, default=2)
+    ap.add_argument("--points", type=int, default=40)
+    ap.add_argument("--speeds", type=float, nargs="+", default=None,
+                    help="override the per-family speed axis (applied to "
+                         "every family in --traj)")
+    ap.add_argument("--traj", nargs="+",
+                    default=["loop", "lemniscate", "random"])
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.stage in ("all", "record"):
+        _, meta = stage_record(args.tag, n_targets=args.targets,
+                               seed=args.seed)
+        print(f"# recorded: {meta}")
+    if args.stage in ("all", "fit"):
+        _, _, offline = stage_fit(args.tag, n_clusters=args.clusters,
+                                  n_points=args.points, seed=args.seed)
+        print(f"# offline held-out: {offline}")
+    if args.stage in ("all", "sweep"):
+        fs = {
+            f: tuple(args.speeds) if args.speeds else FAMILY_SPEEDS[f]
+            for f in args.traj
+        }
+        stage_sweep(args.tag, family_speeds=fs, max_steps=args.max_steps,
+                    seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,11 @@ import numpy as np
 from ad_mpc_tpu.control.mpc import QuadMPC, quad_spec
 from ad_mpc_tpu.models.quadrotor import hover_input
 from ad_mpc_tpu.sim.simulator import DisturbanceConfig, QuadrotorSim
-from ad_mpc_tpu.trajectories import lemniscate_trajectory, loop_trajectory
+from ad_mpc_tpu.trajectories import (
+    lemniscate_trajectory,
+    loop_trajectory,
+    random_trajectory,
+)
 from ad_mpc_tpu.utils.math import interpol_mse
 
 
@@ -55,20 +59,30 @@ def run_tracking(
     seed: int = 0,
     residual_fn=None,
     rdrv_d=None,
+    ensemble=None,
     qp_iters: int = 15,
     max_steps: int | None = None,
     verbose: bool = False,
 ) -> QuadTrackingResult:
+    """``ensemble``: a fitted :class:`~ad_mpc_tpu.learned.ensemble.GPEnsemble`
+    deployed through the full QuadMPC GP mode (per-solve midpoint cluster
+    selection + node-0 trigger, ``quad_3d_optimizer.py:289-327``);
+    ``residual_fn`` is the simpler fixed-closure path."""
     if traj_type == "loop":
         traj, t_ref, u_traj = loop_trajectory(v_max=v_max, radius=5.0)
     elif traj_type == "lemniscate":
         traj, t_ref, u_traj = lemniscate_trajectory(v_max=v_max, radius=5.0)
+    elif traj_type == "random":
+        # Reference sweep's third family (reference_publisher_node.py:23-167
+        # modes, comparative_experiment.py:263-311): random min-snap flight;
+        # v_max maps to the average-speed time allocation.
+        traj, t_ref, u_traj = random_trajectory(seed=seed, speed=v_max)
     else:
         raise ValueError(traj_type)
 
     spec = quad_spec(n_nodes=n_nodes, t_horizon=t_horizon, qp_iters=qp_iters)
     mpc = QuadMPC(spec=spec, residual_fn=residual_fn, rdrv_d=rdrv_d,
-                  dtype=jnp.float32)
+                  ensemble=ensemble, dtype=jnp.float32)
     sim = QuadrotorSim(disturbances=disturbances, sim_dt=sim_dt)
 
     x = jnp.asarray(traj[0])
@@ -119,7 +133,8 @@ def main():
     from ad_mpc_tpu.utils.platform import add_platform_arg, apply_platform_arg
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--traj", default="loop", choices=["loop", "lemniscate"])
+    ap.add_argument("--traj", default="loop",
+                    choices=["loop", "lemniscate", "random"])
     ap.add_argument("--v", type=float, default=8.0)
     ap.add_argument("--no-dist", action="store_true")
     add_platform_arg(ap)

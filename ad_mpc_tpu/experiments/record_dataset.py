@@ -60,6 +60,16 @@ def record_flights(
             u0 = us[0]
             x_next, key = sim.step(x, u0, key, control_period)
 
+            # Emergency reset on divergence BEFORE recording the sample —
+            # a non-finite x_out would poison the residual dataset
+            # (point_tracking_and_record.py:203-206).
+            if not np.all(np.isfinite(np.asarray(x_next))) or np.linalg.norm(
+                np.asarray(x_next[:3])
+            ) > 3 * box:
+                x = jnp.zeros(13).at[3].set(1.0)
+                mpc.reset()
+                break
+
             rec["x_in"].append(np.asarray(x))
             rec["u"].append(np.asarray(u0))
             rec["x_out"].append(np.asarray(x_next))
@@ -67,14 +77,6 @@ def record_flights(
             rec["dt"].append(control_period)
 
             x = x_next
-            # Emergency reset on divergence
-            # (point_tracking_and_record.py:203-206).
-            if not np.all(np.isfinite(np.asarray(x))) or np.linalg.norm(
-                np.asarray(x[:3])
-            ) > 3 * box:
-                x = jnp.zeros(13).at[3].set(1.0)
-                mpc.reset()
-                break
             if np.linalg.norm(np.asarray(x[:3]) - target[:3]) < 0.15:
                 break
         if verbose:

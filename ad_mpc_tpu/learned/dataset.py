@@ -71,7 +71,13 @@ class ResidualDataset:
         sparsely-populated histogram bins (spurious residual outliers) —
         both PER OUTPUT DIMENSION and on the error norm, matching the
         reference's two-stage filter."""
-        keep = np.all(np.abs(self.x_in[:, list(vel_idx)]) <= vel_cap, axis=1)
+        # Non-finite rows (diverged recording flights) are unconditionally
+        # dropped FIRST — they would poison every histogram below.
+        finite = np.all(np.isfinite(self.x_in), axis=1) & np.all(
+            np.isfinite(self.y), axis=1
+        )
+        x_in, u, y = self.x_in[finite], self.u[finite], self.y[finite]
+        keep = np.all(np.abs(x_in[:, list(vel_idx)]) <= vel_cap, axis=1)
 
         def hist_keep(values):
             counts, edges = np.histogram(values, bins=hist_bins)
@@ -83,12 +89,10 @@ class ResidualDataset:
 
         # Per-dimension error histograms (utils.py:497-503).
         for d in vel_idx:
-            keep &= hist_keep(self.y[:, d])
+            keep &= hist_keep(y[:, d])
         # Error-norm histogram (utils.py:505-517).
-        keep &= hist_keep(np.linalg.norm(self.y[:, list(vel_idx)], axis=1))
-        return ResidualDataset(
-            x_in=self.x_in[keep], u=self.u[keep], y=self.y[keep]
-        )
+        keep &= hist_keep(np.linalg.norm(y[:, list(vel_idx)], axis=1))
+        return ResidualDataset(x_in=x_in[keep], u=u[keep], y=y[keep])
 
     def cluster(self, n_clusters: int, feat_idx=(7, 8, 9), seed: int = 0,
                 cache_path: str | None = None):

@@ -25,6 +25,7 @@ class SimNode:
         control_port: int = topics.CONTROL_PORT,
         waypoint_port: int = topics.WAYPOINT_PORT,
         device=None,
+        track_radius: float = 30.0,
     ):
         """``device``: optional jax device for the plant step — e.g.
         ``jax.devices('cpu')[0]`` to keep the 50 Hz plant local while the
@@ -43,7 +44,9 @@ class SimNode:
         self.x = jnp.zeros(7).at[3].set(v_target * 0.5)
         self.u = np.zeros(2)
         self.v_target = v_target
-        self.track = oval_track()
+        # track_radius: corner radius of the oval — shrink it (with high
+        # v_target) for aggressive scenarios where actuation lag bites.
+        self.track = oval_track(r=track_radius)
 
         self.state_pub = Publisher(state_port)
         self.wp_pub = Publisher(waypoint_port)
