@@ -1,0 +1,118 @@
+"""Long-horizon Riccati backend comparison: sequential vs associative scan.
+
+SURVEY.md §5 names O(log N) parallel-prefix Riccati as the TPU-native
+long-context option; ``ops/assoc_riccati.py`` implements it. This
+experiment *measures* the claim on the bench device (VERDICT r4 weak #4:
+previously the module carried CPU-only equality evidence and an unbenched
+claim): batch-1 f32 LQ solves at the bicycle stage dims across horizons,
+sequential ``lqr_solve`` vs ``lqr_solve_assoc``, device-resident
+fetch-synced timing (same methodology as ``experiments/mxu_riccati.py``).
+Reports per-N times, the crossover horizon (or its measured absence), and
+an on-device equality check.
+
+Run: ``python -m ad_mpc_tpu.experiments.long_horizon``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ad_mpc_tpu.ops.assoc_riccati import lqr_solve_assoc
+from ad_mpc_tpu.ops.riccati import lqr_solve
+
+
+def random_lq(rng, N, nx=7, nu=2, dtype=np.float32):
+    """A well-conditioned random LQ instance (contractive A, SPD blocks)."""
+    A = 0.95 * np.stack([np.eye(nx) + 0.05 * rng.normal(0, 1, (nx, nx))
+                         for _ in range(N)])
+    B = 0.1 * rng.normal(0, 1, (N, nx, nu))
+    c = 0.01 * rng.normal(0, 1, (N, nx))
+    Q = np.stack([np.eye(nx)] * (N + 1)) * rng.uniform(0.5, 2.0)
+    q = 0.1 * rng.normal(0, 1, (N + 1, nx))
+    R = np.stack([np.eye(nu)] * N)
+    r = 0.1 * rng.normal(0, 1, (N, nu))
+    dx0 = rng.normal(0, 1, nx)
+    return tuple(jnp.asarray(v, dtype) for v in (A, B, c, Q, q, R, r, dx0))
+
+
+def _time_solver(solve_fn, ops, *, inner=30, rounds=5, target_s=0.4):
+    """Fetch-synced device-resident timing of chained data-dependent LQ
+    solves: iteration k perturbs dx0 by a bounded function of iteration
+    k-1's terminal state, so no scheduler/compiler can overlap or elide
+    the chain, and the measurement window closes on a scalar fetch that
+    depends on every solve."""
+    A, B, c, Q, q, R, r, dx0 = ops
+
+    @jax.jit
+    def block(carry):
+        def body(_, cy):
+            dxs, _dus = solve_fn(A, B, c, Q, q, R, r,
+                                 dx0 + 1e-6 * jnp.tanh(cy))
+            return dxs[-1]
+        return jax.lax.fori_loop(0, inner, body, carry)
+
+    carry = jax.block_until_ready(block(dx0))  # compile
+
+    def round_time(n, cy):
+        tic = time.perf_counter()
+        for _ in range(n):
+            cy = block(cy)
+        _s = float(jnp.sum(cy))  # unfakeable sync
+        return time.perf_counter() - tic, cy
+
+    t_cal, carry = round_time(1, carry)
+    n = max(int(target_s / max(t_cal, 1e-5)), 1)
+    ts = []
+    for _ in range(rounds):
+        t, carry = round_time(n, carry)
+        ts.append(t / (n * inner))
+    return min(ts), max(ts) / min(ts)
+
+
+def micro(horizons=(30, 128, 512), nx=7, nu=2, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = {}
+    crossover = None
+    for N in horizons:
+        ops = random_lq(rng, N, nx, nu)
+        # On-device f32 equality first: the backends must agree.
+        dxs_s, dus_s = lqr_solve(*ops)
+        dxs_a, dus_a = lqr_solve_assoc(*ops)
+        scale = float(jnp.max(jnp.abs(dus_s))) + 1e-12
+        err = float(jnp.max(jnp.abs(dus_s - dus_a))) / scale
+        t_seq, sp_seq = _time_solver(lqr_solve, ops)
+        t_assoc, sp_assoc = _time_solver(lqr_solve_assoc, ops)
+        rows[f"N{N}"] = {
+            "seq_ms": round(1e3 * t_seq, 4),
+            "assoc_ms": round(1e3 * t_assoc, 4),
+            "assoc_over_seq": round(t_assoc / t_seq, 2),
+            "spread": {"seq": round(sp_seq, 2), "assoc": round(sp_assoc, 2)},
+            "max_rel_diff": err,
+        }
+        if crossover is None and t_assoc < t_seq:
+            crossover = N
+    return {
+        "nx": nx, "nu": nu, "batch": 1, "dtype": "float32",
+        "rows": rows,
+        # First measured horizon where the associative backend wins, or
+        # None = it lost at every measured N on this device (an honest
+        # refutation is a valid result; see PARITY.md long-horizon note).
+        "crossover_n": crossover,
+    }
+
+
+def main():
+    import json
+
+    dev = jax.devices()[0]
+    print(json.dumps(
+        {"device": f"{dev.platform} {dev.device_kind}", **micro()}, indent=1
+    ))
+
+
+if __name__ == "__main__":
+    main()

@@ -527,6 +527,8 @@ def annotate_roofline(detail):
             continue
         if name.startswith(("c5_", "c6_")):
             N, nx, nu, qi = 10, 13, 4, 18
+        elif "_N40_" in name:
+            N, nx, nu, qi = 40, 7, 2, 12
         else:
             N, nx, nu, qi = 30, 7, 2, 12
         fl = analytic_flops_per_solve(N, nx, nu, qi, 1, dyn)
@@ -549,7 +551,8 @@ def sync_scaling_md(repo_dir, detail):
     try:
         best_name, best = max(
             ((k, v) for k, v in detail["configs"].items()
-             if "solves_per_s" in v and k.startswith("c2_")),
+             if "solves_per_s" in v and k.startswith("c2_")
+             and "_N40_" not in k),
             key=lambda kv: kv[1]["solves_per_s"],
         )
     except ValueError:
@@ -651,6 +654,29 @@ def main():
                    key=lambda r: r["solves_per_s"])
 
     r1024 = guarded("c2_dynamic_bicycle", run_c2)
+
+    # ---- c2 at the REFERENCE-EXACT AD deployment dims: N=40, tf=2 s,
+    # dt=50 ms (`acados_models/sim_car_acados_ocp.json`,
+    # `launch/gp_ad_mpc.launch:6-8`) — the end of BASELINE's "N~20-40"
+    # range, where the stage-rolled kernels and compile path are most
+    # stressed (VERDICT r4 missing #3). Batch ladder to its knee.
+    def run_c2_n40():
+        tick40, init40, solver40, _ = build_fleet(
+            dynamic_bicycle, switch_on, n_nodes=40, qp_iters=12
+        )
+        rows = {}
+        for b in (1024, 4096, 16384):
+            rows[b], _ = run_config(tick40, init40, b)
+            rows[b]["vde_backend"] = solver40.vde
+            detail["configs"][f"c2_dynamic_bicycle_N40_b{b}"] = rows[b]
+        log(f"# c2-N40 reference-exact dims (vde={solver40.vde}): "
+            + " ".join(f"b{b} {r['solves_per_s']:.0f}/s"
+                       for b, r in rows.items())
+            + f" kkt mean={rows[16384]['kkt_mean']:.2e} "
+            f"max={rows[16384]['kkt_max']:.2e} "
+            f"lat_err={rows[16384]['lat_err_mean_m']:.3f} m")
+
+    guarded("c2_n40", run_c2_n40)
 
     # RTI-vs-converged quality gate on the live fleet state.
     d_u0 = None
@@ -765,6 +791,27 @@ def main():
             f"max={rows[16384]['kkt_max']:.2e} "
             f"lat_err={rows[16384]['lat_err_mean_m']:.3f} m")
 
+        # FITTED-model row (VERDICT r4 weak #6): the ensemble produced by
+        # the gp_flagship record->fit pipeline (committed in the model
+        # registry) riding the same fused Pallas VDE path — proof the
+        # fitting pipeline and the fused GP kernel meet.
+        try:
+            from ad_mpc_tpu.utils import io as _io
+
+            fitted = _io.load_model("gp_flagship_c1")
+        except Exception as e:
+            log(f"# c6 fitted row skipped (no gp_flagship_c1 model): {e}")
+            return
+        tick_f, init_f, solver_f, _ = build_quad_fleet(ensemble=fitted)
+        for b in (4096, 16384):
+            r, _ = run_config(tick_f, init_f, b, warmup=20)
+            r["vde_backend"] = solver_f.vde
+            r["notes"] = ("fitted gp_flagship_c1 ensemble "
+                          f"({fitted.x_train.shape[2]} pts/dim)")
+            detail["configs"][f"c6_fitted_gp_quad_b{b}"] = r
+            log(f"# c6-fitted b{b} (vde={solver_f.vde}): "
+                f"{r['solves_per_s']:.0f}/s kkt max={r['kkt_max']:.2e}")
+
     guarded("c6_gp_quad", run_c6)
 
     # ---- single-solve latency vs the 20 ms budget
@@ -830,6 +877,34 @@ def main():
             f"{m['xla_dot_bf16_gflops']} GFLOP/s")
 
     guarded("mxu_riccati", run_mxu)
+
+    # ---- long-horizon Riccati backend row (VERDICT r4 weak #4): the
+    # associative-scan option measured against the sequential recursion on
+    # this device, with the crossover horizon (or its absence) recorded.
+    def run_long_horizon():
+        from ad_mpc_tpu.experiments.long_horizon import micro as lh_micro
+
+        detail["long_horizon_riccati"] = lh_micro()
+        lh = detail["long_horizon_riccati"]
+        log(f"# long-horizon riccati: crossover_n={lh['crossover_n']} "
+            + " ".join(f"N{k[1:]}:{v['assoc_over_seq']}x"
+                       for k, v in lh["rows"].items()))
+
+    guarded("long_horizon_riccati", run_long_horizon)
+
+    # ---- shard-invariance row (VERDICT r4 weak #7): the multi-chip claim
+    # decomposed into what ONE real chip can prove — shard_map partitioning
+    # at fixed per-device batch is rate-invariant vs the unsharded program.
+    def run_shard_invariance():
+        from ad_mpc_tpu.parallel.scaling import measure_shard_invariance
+
+        detail["shard_invariance"] = measure_shard_invariance()
+        si = detail["shard_invariance"]
+        log(f"# shard invariance: plain {si['plain']['solves_per_s']:,.0f} "
+            f"vs shard_map(1) {si['shard_map_1dev']['solves_per_s']:,.0f} "
+            f"solves/s (ratio {si['sharded_over_plain']})")
+
+    guarded("shard_invariance", run_shard_invariance)
 
     # ---- roofline annotation (VERDICT r3 #4)
     annotate_roofline(detail)
