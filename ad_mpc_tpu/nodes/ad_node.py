@@ -267,6 +267,12 @@ class ADControllerNode:
         x = np.zeros(7)
         x[3] = 5.0
         self.control_tick(x)
+        if self._predict is not None:
+            # Compile the lag-compensation predictor too: its first real
+            # call happens only once a completed result exists, i.e. in
+            # the middle of the real-time loop — a mid-loop XLA compile
+            # there stalls several control periods.
+            np.asarray(self._predict(x, np.zeros(2, np.float32)))
         if self.pipelined:
             # Make sure the warmup result is drained, then clear it so the
             # real loop starts from a clean pipeline.
