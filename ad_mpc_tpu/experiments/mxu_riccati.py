@@ -15,7 +15,9 @@ Two levels:
    batched-matmul (XLA picks its best TPU mapping, MXU when profitable)
    vs (b) a lane-layout Pallas kernel computing the identical chain with
    entries unrolled and batch on lanes. Reports wall ms and achieved
-   GFLOP/s for both.
+   GFLOP/s for both, measured device-resident and fetch-synced (see
+   ``_time`` — the round-4 committed numbers were corrupted in both
+   directions by host-loop timing through the tunneled runtime).
 2. **macro** — the full production QP: one closed-loop c2 tick at b4096
    with ``backend='pallas'`` (fused lane IPM kernel) vs ``backend='xla'``
    (vmapped einsum IPM — XLA's own scheduling, free to use the MXU).

@@ -168,18 +168,21 @@ def build_quad_fleet(n_nodes: int = 10, qp_iters: int = 18, backend=None,
     return tick, init, solver, spec
 
 
-def rti_vs_converged_quad(carry, n_check=64, n_nodes=10, ensemble=None):
+def rti_vs_converged_quad(carry, n_check=64, n_nodes=10, ensemble=None,
+                          deployed_sqp_iters=1):
     """Deployed-RTI-vs-converged-SQP u0 gate for the quad fleet (the same
     check ``bench.rti_vs_converged`` applies to the vehicle configs): from
-    a live fleet state, u0 of the 1-iteration RTI tick must agree with a
-    fully converged multi-iteration SQP solve — the measure that the RTI
-    KKT defect is linearization residue, not solution error."""
+    a live fleet state, u0 of the deployed tick (``deployed_sqp_iters``
+    Gauss-Newton iterations) must agree with a fully converged
+    multi-iteration SQP solve — the measure that the RTI KKT defect is
+    linearization residue, not solution error."""
     x0, theta, radius, speed, alt, states = carry
     m = min(n_check, x0.shape[0])
     x0m = x0[:m]
     st_m = jax.tree.map(lambda t: t[:m], states)
 
     _, _, sol1, spec = build_quad_fleet(n_nodes=n_nodes, qp_iters=18,
+                                        sqp_iters=deployed_sqp_iters,
                                         ensemble=ensemble)
     _, _, sol6, _ = build_quad_fleet(n_nodes=n_nodes, qp_iters=24,
                                      sqp_iters=6, ensemble=ensemble)

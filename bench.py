@@ -463,23 +463,32 @@ def bench_latency(dynamics, p_of, n_nodes=30, qp_iters=12, reps=30,
 # BENCH_DETAIL.json at the same SHA), so any real regression fails the
 # official channel while run-to-run noise (±30% throughput, small kkt
 # wander) does not.
+# Quad configs run 2 Gauss-Newton iterations per tick: at dt=0.1 the
+# attitude-dynamics linearization residue leaves a 1-iteration RTI iterate
+# at kkt ~1.1-1.4e-3 (r4, grazing BASELINE's 1e-3 parity bar); the second
+# iteration collapses the residue quadratically (measured r3: ~223x) at a
+# measured throughput cost recorded in BENCH_DETAIL.
+QUAD_SQP_ITERS = 2
+
 GATES = {
     # measured r4: kkt_mean ~5e-7, kkt_max ~2e-6, lat ~0.16 m
     "c2_": {"kkt_mean": 5e-6, "kkt_max": 3e-5, "lat_err_mean_m": 0.4},
     "c3_": {"kkt_mean": 5e-6, "kkt_max": 3e-5, "lat_err_mean_m": 0.4},
     # measured r4: kkt_mean ~8e-7, kkt_max ~8e-6, lat ~0.03 m
     "c4_": {"kkt_mean": 8e-6, "kkt_max": 1e-4, "lat_err_mean_m": 0.15},
-    # measured r4: kkt_mean ~4e-5, kkt_max ~1.2e-3 (RTI linearization
-    # residue of the attitude dynamics at dt=0.1 — diagnosed in
-    # docs/SOLVER.md; u0 still matches the converged solve), lat ~1 mm
-    "c5_": {"kkt_mean": 4e-4, "kkt_max": 1e-2, "lat_err_mean_m": 0.02},
-    "c6_": {"kkt_mean": 4e-4, "kkt_max": 1e-2, "lat_err_mean_m": 0.02},
+    # measured r5 at QUAD_SQP_ITERS=2: kkt_mean ~2e-7, kkt_max ~1.1e-5
+    # (the 1-iteration RTI residue of the attitude dynamics at dt=0.1 sat
+    # at 1.1-1.4e-3, grazing BASELINE's 1e-3 bar — VERDICT r4 #3; the
+    # second Gauss-Newton iteration collapses it ~100x), lat ~1 mm
+    "c5_": {"kkt_mean": 2e-6, "kkt_max": 1e-4, "lat_err_mean_m": 0.02},
+    "c6_": {"kkt_mean": 2e-6, "kkt_max": 1e-4, "lat_err_mean_m": 0.02},
 }
 RTI_GATES = {
-    # measured r4: bicycle ~5e-5, pacejka ~7e-5, quad ~(set below)
+    # measured r4: bicycle ~5e-5, pacejka ~7e-5; quad r5 ~4.7e-4
     "rti_vs_converged_u0": 5e-4,
     "c4_rti_vs_converged_u0": 7e-4,
-    "c5_rti_vs_converged_u0": 5e-3,
+    "c5_rti_vs_converged_u0": 1e-3,
+    "c6_rti_vs_converged_u0": 1e-3,
 }
 
 
@@ -754,7 +763,9 @@ def main():
             rti_vs_converged_quad,
         )
 
-        tick_q, init_q, solver_q, _ = build_quad_fleet()
+        tick_q, init_q, solver_q, _ = build_quad_fleet(
+            sqp_iters=QUAD_SQP_ITERS
+        )
         rows = {}
         carry_q = None
         for b in (256, 1024, 4096, 16384):
@@ -763,7 +774,9 @@ def main():
             detail["configs"][f"c5_quad_b{b}"] = rows[b]
             if b == 256:
                 carry_q = c_
-        d_q = rti_vs_converged_quad(carry_q)
+        d_q = rti_vs_converged_quad(
+            carry_q, deployed_sqp_iters=QUAD_SQP_ITERS
+        )
         detail["c5_rti_vs_converged_u0"] = d_q
         log(f"# c5 quad N=10 (vde={solver_q.vde}): "
             + " ".join(f"b{b} {r['solves_per_s']:.0f}/s"
@@ -783,16 +796,26 @@ def main():
         from ad_mpc_tpu.experiments.quad_fleet import (
             build_quad_fleet,
             make_quad_gp_ensemble,
+            rti_vs_converged_quad,
         )
 
         tick_g, init_g, solver_g, _ = build_quad_fleet(
-            ensemble=make_quad_gp_ensemble()
+            ensemble=make_quad_gp_ensemble(), sqp_iters=QUAD_SQP_ITERS
         )
         rows = {}
+        carry_g = None
         for b in (256, 1024, 4096, 16384):
-            rows[b], _ = run_config(tick_g, init_g, b, warmup=20)
+            rows[b], c_ = run_config(tick_g, init_g, b, warmup=20)
             rows[b]["vde_backend"] = solver_g.vde
             detail["configs"][f"c6_gp_quad_b{b}"] = rows[b]
+            if b == 256:
+                carry_g = c_
+        # The c6 RTI gate the r4 artifact lacked (VERDICT r4 weak #2).
+        d_g = rti_vs_converged_quad(
+            carry_g, ensemble=make_quad_gp_ensemble(),
+            deployed_sqp_iters=QUAD_SQP_ITERS,
+        )
+        detail["c6_rti_vs_converged_u0"] = d_g
         log(f"# c6 GP-quad N=10 (vde={solver_g.vde}): "
             + " ".join(f"b{b} {r['solves_per_s']:.0f}/s"
                        for b, r in rows.items())
@@ -811,7 +834,9 @@ def main():
         except Exception as e:
             log(f"# c6 fitted row skipped (no gp_flagship_c1 model): {e}")
             return
-        tick_f, init_f, solver_f, _ = build_quad_fleet(ensemble=fitted)
+        tick_f, init_f, solver_f, _ = build_quad_fleet(
+            ensemble=fitted, sqp_iters=QUAD_SQP_ITERS
+        )
         for b in (4096, 16384):
             r, _ = run_config(tick_f, init_f, b, warmup=20)
             r["vde_backend"] = solver_f.vde
@@ -926,7 +951,8 @@ def main():
                 failures.append(f"{cfg_name}.{key}={r[key]:.3e}>{lim}")
     if d_u0 is not None and d_u0 > RTI_GATES["rti_vs_converged_u0"]:
         failures.append(f"rti_vs_converged_u0={d_u0:.3e}")
-    for k in ("c4_rti_vs_converged_u0", "c5_rti_vs_converged_u0"):
+    for k in ("c4_rti_vs_converged_u0", "c5_rti_vs_converged_u0",
+              "c6_rti_vs_converged_u0"):
         v = detail.get(k)
         if v is not None and v > RTI_GATES[k]:
             failures.append(f"{k}={v:.3e}>{RTI_GATES[k]}")
