@@ -74,6 +74,15 @@ def _time_solver(solve_fn, ops, *, inner=30, rounds=5, target_s=0.4):
 
 
 def micro(horizons=(30, 128, 512), nx=7, nu=2, seed=0):
+    """Runs under solver-grade matmul precision: on TPU the default is
+    bf16 passes, which perturbs the backward recursion at the ~1% level
+    (measured r5) — the production solver pins 'highest'
+    (``ocp/spec.py``), so the backend comparison must too."""
+    with jax.default_matmul_precision("highest"):
+        return _micro(horizons, nx, nu, seed)
+
+
+def _micro(horizons, nx, nu, seed):
     rng = np.random.default_rng(seed)
     rows = {}
     crossover = None

@@ -224,10 +224,12 @@ def test_assoc_riccati_matches_sequential_on_device():
     from ad_mpc_tpu.ops.riccati import lqr_solve
 
     rng = np.random.default_rng(0)
-    for N in (30, 128):
-        ops = random_lq(rng, N)
-        dxs_s, dus_s = jax.jit(lqr_solve)(*ops)
-        dxs_a, dus_a = jax.jit(lqr_solve_assoc)(*ops)
-        scale = float(jnp.max(jnp.abs(dus_s))) + 1e-12
-        err = float(jnp.max(jnp.abs(dus_s - dus_a))) / scale
-        assert err < 2e-3, f"N={N}: assoc vs sequential rel diff {err:.2e}"
+    with jax.default_matmul_precision("highest"):  # solver-grade (spec)
+        for N in (30, 128):
+            ops = random_lq(rng, N)
+            dxs_s, dus_s = jax.jit(lqr_solve)(*ops)
+            dxs_a, dus_a = jax.jit(lqr_solve_assoc)(*ops)
+            scale = float(jnp.max(jnp.abs(dus_s))) + 1e-12
+            err = float(jnp.max(jnp.abs(dus_s - dus_a))) / scale
+            assert err < 2e-3, \
+                f"N={N}: assoc vs sequential rel diff {err:.2e}"
