@@ -81,10 +81,21 @@ def make_path(x, y, psi, vel, filter_width: int = 11) -> PathData:
 
 
 def get_waypoints(
-    path: PathData, x_init, y_init, psi_init, traj_horizon: int, traj_dt: float
+    path: PathData, x_init, y_init, psi_init, traj_horizon: int,
+    traj_dt: float, v_now=None, acc_max: float = 3.0, dec_max: float = 5.0,
 ) -> WaypointRefs:
     """Per-tick local reference extraction (``get_waypoints``,
-    ``ref_traj.py:89-171``). Pure function: jit/vmap over vehicles."""
+    ``ref_traj.py:89-171``). Pure function: jit/vmap over vehicles.
+
+    ``v_now`` (optional): current vehicle speed. When given, the
+    arc-length march is capped by the reachable acceleration envelope
+    from ``v_now`` (``resample_vel`` composed INTO the interpolation):
+    positions AND velocities then describe the same reachable window.
+    Capping only the velocity row while the positions march at the
+    path's target speed (the naive composition) makes the window
+    untrackable from low speed — the plausibility gate then rejects every
+    solve and the arming watchdog can never bootstrap from standstill at
+    an aggressive target speed (measured r5 deadlock)."""
     psi_init = wrap_to_pi(psi_init)
 
     # (1) Closest waypoint.
@@ -105,12 +116,31 @@ def get_waypoints(
     # own arc position using the velocity profile AT each queried position,
     # so the function is also correct standalone against a long global path
     # (not only when the caller re-windows the track every tick).
-    def advance(s, _):
-        v = jnp.interp(s, path.cdist, path.vel)
-        s_next = s + traj_dt * v
-        return s_next, s_next
+    if v_now is None:
 
-    _, s_query = jax.lax.scan(advance, s0, None, length=traj_horizon)
+        def advance(s, _):
+            v = jnp.interp(s, path.cdist, path.vel)
+            s_next = s + traj_dt * v
+            return s_next, s_next
+
+        _, s_query = jax.lax.scan(advance, s0, None, length=traj_horizon)
+    else:
+
+        def advance(carry, _):
+            s, v_prev = carry
+            v_path = jnp.interp(s, path.cdist, path.vel)
+            v = jnp.clip(
+                v_path,
+                jnp.maximum(v_prev - dec_max * traj_dt, 0.0),
+                v_prev + acc_max * traj_dt,
+            )
+            s_next = s + traj_dt * v
+            return (s_next, v), s_next
+
+        (_, _), s_query = jax.lax.scan(
+            advance, (s0, jnp.asarray(v_now, jnp.result_type(s0))),
+            None, length=traj_horizon,
+        )
 
     x_ref = jnp.interp(s_query, path.cdist, path.x)
     y_ref = jnp.interp(s_query, path.cdist, path.y)
@@ -171,6 +201,12 @@ class PathReference:
                 path, x, y, p, self.traj_horizon, self.traj_dt
             )
         )
+        self._get_env = jax.jit(
+            lambda path, x, y, p, v, am, dm: get_waypoints(
+                path, x, y, p, self.traj_horizon, self.traj_dt,
+                v_now=v, acc_max=am, dec_max=dm,
+            )
+        )
 
     def set_traj(self, x_ref, y_ref, psi_ref, vel_ref):
         self._path = make_path(x_ref, y_ref, psi_ref, vel_ref)
@@ -179,3 +215,16 @@ class PathReference:
         if self._path is None:
             raise RuntimeError("trajectory has not been set")
         return self._get(self._path, x_init, y_init, psi_init)
+
+    def get_waypoints_enveloped(
+        self, x_init, y_init, psi_init, v_now,
+        acc_max: float = 3.0, dec_max: float = 5.0,
+    ) -> WaypointRefs:
+        """Reference window capped by the reachable acceleration envelope
+        from the current speed — positions and velocities consistent (see
+        :func:`get_waypoints` ``v_now`` docs)."""
+        if self._path is None:
+            raise RuntimeError("trajectory has not been set")
+        return self._get_env(
+            self._path, x_init, y_init, psi_init, v_now, acc_max, dec_max
+        )

@@ -22,7 +22,7 @@ import numpy as np
 
 from ad_mpc_tpu.control.mpc import BicycleMPC, bicycle_spec
 from ad_mpc_tpu.control import safety
-from ad_mpc_tpu.control.reference import PathReference, resample_vel
+from ad_mpc_tpu.control.reference import PathReference
 from ad_mpc_tpu.nodes import topics
 from ad_mpc_tpu.runtime import Publisher, RateTimer, SpscQueue, Subscriber
 
@@ -205,15 +205,20 @@ class ADControllerNode:
         # np.asarray of a device-resident array pays a link round trip
         # (measured: 4-5 RTTs/tick through the default backend).
         with jax.default_device(jax.devices("cpu")[0]):
-            wp = self.ref_gen.get_waypoints(x[0], x[1], x[2])
-            v_ref = resample_vel(wp.v_ref, x[3], self.spec.dt,
-                                 acc_max=3.0, dec_max=5.0)
+            # Envelope-capped window: positions AND velocities describe the
+            # same reachable trajectory (resample_vel composed into the
+            # arc-length march) — capping only the velocity row leaves the
+            # positions marching at target speed, which is untrackable
+            # from low speed and deadlocks the arming gate.
+            wp = self.ref_gen.get_waypoints_enveloped(
+                x[0], x[1], x[2], x[3], acc_max=3.0, dec_max=5.0
+            )
             n = self.spec.n_nodes
             x_ref = np.zeros((n + 1, 7), np.float32)
             x_ref[:, 0] = np.asarray(wp.x_ref)
             x_ref[:, 1] = np.asarray(wp.y_ref)
             x_ref[:, 2] = np.asarray(wp.psi_ref)
-            x_ref[:, 3] = np.asarray(v_ref)
+            x_ref[:, 3] = np.asarray(wp.v_ref)
 
         packed = np.concatenate([x[None].astype(np.float32), x_ref])
         if self._fstate is None:

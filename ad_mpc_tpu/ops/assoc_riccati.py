@@ -38,12 +38,16 @@ over affine-map compositions. Equality with the sequential
 :func:`ad_mpc_tpu.ops.riccati.lqr_solve` is asserted by
 ``tests/test_assoc_riccati.py`` (exact to f64 roundoff up to N=256).
 
-Measured on TPU v5e (f32, nx=7, nu=2, pipelined): N=30 0.08 ms vs 0.02 ms
-sequential; N=480 4.1 ms vs 3.0 ms — at these tiny state dims the
-sequential scan's per-stage cost is already minimal and the combine's
-O(N log N) LU work dominates, so the associative path is the right choice
-only for large-nx / very long horizons or latency regimes where the O(N)
-dependent-step chain itself is the bottleneck. Enabled per spec via
+Measured on TPU v5e (r5, f32 at solver-grade matmul precision, batch 1,
+nx=7, nu=2 — ``experiments/long_horizon.py``, device-resident
+fetch-synced timing, committed to BENCH_DETAIL.json
+``long_horizon_riccati``): the associative backend wins at EVERY measured
+horizon — N=30 0.44 ms vs 1.33 ms sequential (3.0x), N=128 1.28 vs
+1.40 ms, N=512 4.2 vs 5.4 ms — because at batch 1 the sequential
+recursion is dependency-bound and the combine tree exposes parallel work
+to the otherwise-idle VPU. (An earlier CPU-only measurement suggested the
+opposite at small N; the bench row is the committed evidence.) Equality
+vs the sequential backend: <1e-6 relative on device. Enabled per spec via
 ``OCPSpec.assoc_riccati``.
 """
 

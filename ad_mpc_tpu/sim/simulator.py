@@ -161,8 +161,16 @@ class BicycleSim:
             def body(_, xx):
                 xx = rk4_step(f, xx, u, h)
                 # Keep steering within physical range.
-                return xx.at[6].set(
+                xx = xx.at[6].set(
                     jnp.clip(xx[6], p.steering_min, p.steering_max)
+                )
+                # Braking stops at standstill — it does not drive the car
+                # backwards (the plant role CARLA plays: negative
+                # AckermannDrive accel is a BRAKE). Without this, the
+                # brake-fallback controller reverses the plant
+                # indefinitely and the arming gate can never re-arm.
+                return xx.at[3].set(
+                    jnp.where(u[0] < 0.0, jnp.maximum(xx[3], 0.0), xx[3])
                 )
 
             x = jax.lax.fori_loop(0, n_sub, body, x)

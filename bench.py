@@ -898,7 +898,7 @@ def main():
         # forward-predicts the solve anchor by the pipeline delay.
         for lc in (False, True):
             d = run_deployment_loop(
-                ticks=400, base_port=49540 + 4 * int(lc), pipelined=True,
+                ticks=700, base_port=49540 + 4 * int(lc), pipelined=True,
                 lag_compensation=lc, v_target=12.0, track_radius=15.0,
             )
             key = "deployment_aggr_" + ("lagcomp" if lc else "nolagcomp")
