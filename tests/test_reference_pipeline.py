@@ -122,3 +122,34 @@ def test_get_waypoints_anchors_at_vehicle_arc_position():
     assert abs(x_ref[0] - 200.0) < 1.0
     assert x_ref[-1] > 210.0
     assert float(wp.s0) > 190.0
+
+
+def test_get_waypoints_enveloped_consistent_window():
+    """Envelope-capped window (VERDICT r5 arming-bootstrap fix): positions
+    and velocities must describe the SAME reachable trajectory from the
+    current speed — the per-step position advance must equal v_ref*dt, and
+    v_ref must respect the acceleration envelope."""
+    from ad_mpc_tpu.control.reference import get_waypoints, make_path
+
+    n = 400
+    xs = np.linspace(0.0, 400.0, n)
+    path = make_path(xs, np.zeros(n), np.zeros(n), np.full(n, 10.0))
+
+    dt, acc = 0.05, 3.0
+    wp = get_waypoints(path, 0.0, 0.0, 0.0, traj_horizon=21, traj_dt=dt,
+                       v_now=0.0, acc_max=acc, dec_max=5.0)
+    v_ref = np.asarray(wp.v_ref)
+    x_ref = np.asarray(wp.x_ref)
+    # Envelope from standstill: v_k <= k*acc*dt, up to the first-3-point
+    # re-anchoring (which repeats the 3rd marched entry at the front) and
+    # the finite-diff v_ref offset: allow a 4-step slack.
+    steps = np.arange(1, len(v_ref) + 1)
+    assert np.all(v_ref <= acc * dt * (steps + 4) + 1e-6), v_ref
+    # Positions march with the SAME capped velocities (finite-diff check
+    # away from the re-anchored first 3 points).
+    dv = np.diff(x_ref)[3:] / dt
+    assert np.all(dv <= acc * dt * (steps[3:-1] + 5) + 1e-5), dv
+    # And the window is NOT the uncapped 10 m/s march.
+    wp_fast = get_waypoints(path, 0.0, 0.0, 0.0, traj_horizon=21,
+                            traj_dt=dt)
+    assert x_ref[-1] < 0.5 * float(np.asarray(wp_fast.x_ref)[-1])
