@@ -363,21 +363,36 @@ class QuadMPC:
         res = self.solver.solve(
             x0, self._yref_x, self._yref_u, params, self.state
         )
+
         # Solver-health watchdog (the reference resets its optimizer on
         # infeasibility, gp_ad_mpc_node.py:154-158, 206-208): a non-finite
         # or physically implausible iterate (observed: RTI divergence to
         # |v| ~ 8e4 m/s under a misextrapolating RDRv model on aggressive
-        # random flights) would poison every later warm start. Reset the
-        # RTI iterate to the current state and re-solve once.
-        bad = (not bool(jnp.all(jnp.isfinite(res.xs)))) or float(
-            jnp.max(jnp.abs(res.xs[:, 7:10]))
-        ) > 100.0
-        if bad:
+        # random flights) would poison every later warm start. ONE fused
+        # scalar fetch decides (a remote accelerator pays a link RTT per
+        # fetch): inf when any of us/xs is non-finite, else the velocity
+        # magnitude.
+        def health(r):
+            ok = jnp.all(jnp.isfinite(r.us)) & jnp.all(jnp.isfinite(r.xs))
+            return jnp.where(
+                ok, jnp.max(jnp.abs(r.xs[:, 7:10])), jnp.inf
+            )
+
+        if not float(health(res)) < 100.0:
+            # Reset the RTI iterate to the current state and re-solve once.
             self.n_resets += 1
             self.state = self.solver.init_state(x0)
             res = self.solver.solve(
                 x0, self._yref_x, self._yref_u, params, self.state
             )
+            if not float(health(res)) < 100.0:
+                # Still pathological from a clean cold start: do NOT store
+                # the poisoned iterate — next tick starts fresh. The
+                # caller still receives this solve's output and must apply
+                # its own actuation-level guards (the closed-loop nodes'
+                # safety shell does).
+                self.state = None
+                return res.us, res.xs
         self.state = self.solver.shift(res.state)
         return res.us, res.xs
 

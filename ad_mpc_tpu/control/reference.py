@@ -80,9 +80,17 @@ def make_path(x, y, psi, vel, filter_width: int = 11) -> PathData:
     return PathData(x=x, y=y, psi=psi, vel=vel, cdist=cdist, curv=curv)
 
 
+# Vehicle-level reachable-acceleration envelope, owned HERE so every
+# consumer (enveloped windowing, legacy resample_vel callers, deployment
+# nodes) caps against the same physical limits.
+ENVELOPE_ACC_MAX = 3.0
+ENVELOPE_DEC_MAX = 5.0
+
+
 def get_waypoints(
     path: PathData, x_init, y_init, psi_init, traj_horizon: int,
-    traj_dt: float, v_now=None, acc_max: float = 3.0, dec_max: float = 5.0,
+    traj_dt: float, v_now=None, acc_max: float = ENVELOPE_ACC_MAX,
+    dec_max: float = ENVELOPE_DEC_MAX,
 ) -> WaypointRefs:
     """Per-tick local reference extraction (``get_waypoints``,
     ``ref_traj.py:89-171``). Pure function: jit/vmap over vehicles.
@@ -178,7 +186,8 @@ def get_waypoints(
     )
 
 
-def resample_vel(v_ref, v_now, dt, acc_max: float = 2.0, dec_max: float = 3.0):
+def resample_vel(v_ref, v_now, dt, acc_max: float = ENVELOPE_ACC_MAX,
+                 dec_max: float = ENVELOPE_DEC_MAX):
     """Limit the velocity reference to the reachable acceleration envelope
     from the current speed (node-level ``resample_vel``,
     ``gp_ad_mpc_node.py:344-349``)."""
@@ -218,7 +227,7 @@ class PathReference:
 
     def get_waypoints_enveloped(
         self, x_init, y_init, psi_init, v_now,
-        acc_max: float = 3.0, dec_max: float = 5.0,
+        acc_max: float = ENVELOPE_ACC_MAX, dec_max: float = ENVELOPE_DEC_MAX,
     ) -> WaypointRefs:
         """Reference window capped by the reachable acceleration envelope
         from the current speed — positions and velocities consistent (see

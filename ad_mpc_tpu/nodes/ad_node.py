@@ -97,6 +97,9 @@ class ADControllerNode:
         self._latest = None
         self._latest_lock = threading.Lock()
         self._predict = None
+        # [accel, steer_rate] the node actually returned last tick (MPC
+        # command or brake fallback) — the lag-compensation plant input.
+        self._last_pub_u = None
         if pipelined:
             import queue
 
@@ -183,22 +186,33 @@ class ADControllerNode:
 
         out_np = None
         if self.pipelined:
-            # Read the newest COMPLETED result up front: it is both the
-            # command published this tick AND (under lag compensation) the
-            # input actuating the plant during the one-slot pipeline lag.
+            # Read the newest COMPLETED result up front: it is the command
+            # published this tick (one-slot actuation pipeline).
             with self._latest_lock:
                 out_np = self._latest
             if (
                 self.lag_compensation
                 and self._predict is not None
-                and out_np is not None
-                and out_np[3] > 0.5
+                and self._last_pub_u is not None
             ):
                 # Preparation/feedback split: anchor this tick's solve at
-                # the state one control period ahead under the command
-                # being applied now, so the solution is current when it
-                # reaches the actuator.
-                x = np.asarray(self._predict(x, out_np[:2]), np.float64)
+                # the state one control period ahead under the command the
+                # node ACTUALLY published last tick — the MPC command when
+                # armed, the brake fallback when not (predicting under the
+                # MPC command while the brake is what actuates would
+                # anchor every arming-phase solve at a state the plant is
+                # not heading toward). Mirror the plant's actuator
+                # semantics: clipped inputs, braking stops at standstill.
+                p = self.mpc.params
+                u_act = np.array([
+                    np.clip(self._last_pub_u[0], p.acc_min, p.acc_max),
+                    np.clip(self._last_pub_u[1], p.steering_rate_min,
+                            p.steering_rate_max),
+                ], np.float32)
+                x_pred = np.asarray(self._predict(x, u_act), np.float64)
+                if u_act[0] < 0.0:
+                    x_pred[3] = max(x_pred[3], 0.0)
+                x = x_pred
 
         # Reference windowing runs on the HOST CPU backend: its outputs are
         # consumed by numpy immediately, and on a remote accelerator every
@@ -211,7 +225,7 @@ class ADControllerNode:
             # positions marching at target speed, which is untrackable
             # from low speed and deadlocks the arming gate.
             wp = self.ref_gen.get_waypoints_enveloped(
-                x[0], x[1], x[2], x[3], acc_max=3.0, dec_max=5.0
+                x[0], x[1], x[2], x[3]
             )
             n = self.spec.n_nodes
             x_ref = np.zeros((n + 1, 7), np.float32)
@@ -241,6 +255,7 @@ class ADControllerNode:
                 pass  # fetcher saturated: skip enqueue, keep last result
             if out_np is None:
                 self.n_unsafe += 1
+                self._last_pub_u = np.array([-1e5, 0.0], np.float32)
                 return np.array([-1e5, 0.0, float(x[6])], np.float32)
         else:
             out_np = jax.device_get(out)
@@ -254,8 +269,10 @@ class ADControllerNode:
             # gp_ad_mpc_node.py:446-481) — never silence the actuator and
             # let the plant coast on its last command.
             self.n_unsafe += 1
+            self._last_pub_u = np.array([-1e5, 0.0], np.float32)
             return np.array([-1e5, 0.0, float(x[6])], np.float32)
 
+        self._last_pub_u = np.asarray(out_np[:2], np.float32)
         return np.asarray(cmd_np, np.float32)
 
     def warmup(self):
@@ -293,6 +310,7 @@ class ADControllerNode:
         self._fstate = None
         self._prev_us = None
         self._have_prev = None
+        self._last_pub_u = None
         with self._latest_lock:
             self._latest = None
         self.ref_gen._path = None

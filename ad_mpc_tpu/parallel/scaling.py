@@ -183,7 +183,8 @@ def main():
         with open(detail_path) as f:
             d = json.load(f)
         c2s = [v for k, v in d.get("configs", {}).items()
-               if k.startswith("c2_dynamic_bicycle")]
+               if k.startswith("c2_dynamic_bicycle")
+               and "_N40_" not in k]  # headline stays the N=30 family
         if c2s:
             cfg = max(c2s, key=lambda r: r["solves_per_s"])
             chip = {"device": d.get("device"), "sha": d.get("git_sha"),
